@@ -1,0 +1,229 @@
+"""Gorilla-style payload compression for rolled-up points.
+
+Two codecs, both self-describing per row and both encoded with fully
+vectorized numpy bit-packing (no Python-level per-token loops — per-row
+numpy calls only, which is the hot-path contract of BASELINE.json):
+
+- ``encode_dod``/``decode_dod``: delta-of-delta for integer token arrays
+  (Gorilla timestamp scheme, Pelkonen et al., "Gorilla: A Fast, Scalable,
+  In-Memory Time Series Database", VLDB 2015, §4.1): buckets
+  '0' | '10'+7b | '110'+9b | '1110'+12b | '11110'+36b(zigzag).
+- ``encode_gorilla``/``decode_gorilla``: XOR scheme for float64 arrays
+  (ibid. §4.1.2), simplified to two control modes: '0' for zero XOR, else
+  '1' + 6b leading-zero count + 6b significant-bit length + bits.  We never
+  emit the "reuse previous window" mode (it is inherently sequential and
+  would serialize the encoder); decoders remain compatible since every
+  block restates its window.
+
+Decoders are sequential bit readers (read path / round-trip tests only —
+not on the materialization hot path).
+
+The round-trip invariant ``decode(encode(x)) == x`` (exact) is the
+north_rule token-equality contract; see tests/test_compression.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["encode_dod", "decode_dod", "encode_gorilla", "decode_gorilla"]
+
+_MAGIC_DOD = 0xD0
+_MAGIC_GOR = 0x60
+
+
+def _pack_ragged(codes_hi: np.ndarray, codes_lo: np.ndarray,
+                 lengths: np.ndarray) -> np.ndarray:
+    """Concatenate per-element variable-length big-endian bitfields.
+
+    codes_hi/lo: uint64 halves of each element's code (code occupies the
+    LOWEST ``lengths`` bits of the 128-bit (hi,lo) pair).
+    Returns uint8 array of the packed stream (zero-padded to a byte).
+    """
+    m = lengths.size
+    if m == 0:
+        return np.zeros(0, dtype=np.uint8)
+    field = np.empty((m, 16), dtype=np.uint8)
+    field[:, :8] = codes_hi.astype(">u8").view(np.uint8).reshape(m, 8)
+    field[:, 8:] = codes_lo.astype(">u8").view(np.uint8).reshape(m, 8)
+    bits = np.unpackbits(field, axis=1)  # (m, 128), MSB-first
+    total = int(lengths.sum())
+    reps = lengths.astype(np.int64)
+    rows = np.repeat(np.arange(m, dtype=np.int64), reps)
+    offs = np.repeat(np.cumsum(reps) - reps, reps)
+    within = np.arange(total, dtype=np.int64) - offs
+    cols = 128 - np.repeat(reps, reps) + within
+    stream = bits[rows, cols]
+    return np.packbits(stream)
+
+
+def _zigzag(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64)
+    return ((x << 1) ^ (x >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def encode_dod(values: np.ndarray) -> bytes:
+    """Delta-of-delta encode one int array. Header: magic u8, n u32be,
+    first value i64be."""
+    v = np.asarray(values, dtype=np.int64)
+    n = v.size
+    head = bytes([_MAGIC_DOD]) + np.array([n], dtype=">u4").tobytes()
+    if n == 0:
+        return head
+    head += np.array([v[0]], dtype=">i8").tobytes()
+    if n == 1:
+        return head
+    d = np.diff(v)
+    dod = np.empty(n - 1, dtype=np.int64)
+    dod[0] = d[0]
+    dod[1:] = d[1:] - d[:-1]
+    if np.abs(dod).max(initial=0) >= (1 << 34):
+        raise ValueError("delta-of-delta out of 36-bit zigzag range")
+
+    absd = dod
+    b0 = absd == 0
+    b1 = ~b0 & (absd >= -63) & (absd <= 64)
+    b2 = ~b0 & ~b1 & (absd >= -255) & (absd <= 256)
+    b3 = ~b0 & ~b1 & ~b2 & (absd >= -2047) & (absd <= 2048)
+    b4 = ~(b0 | b1 | b2 | b3)
+
+    lengths = np.select([b0, b1, b2, b3], [1, 9, 12, 16], default=41).astype(np.int64)
+    lo = np.zeros(n - 1, dtype=np.uint64)
+    # '0'
+    lo[b0] = 0
+    # '10' + 7 bits (dod+63)
+    lo[b1] = (np.uint64(0b10) << np.uint64(7)) | (dod[b1] + 63).astype(np.uint64)
+    # '110' + 9 bits (dod+255)
+    lo[b2] = (np.uint64(0b110) << np.uint64(9)) | (dod[b2] + 255).astype(np.uint64)
+    # '1110' + 12 bits (dod+2047)
+    lo[b3] = (np.uint64(0b1110) << np.uint64(12)) | (dod[b3] + 2047).astype(np.uint64)
+    # '11110' + 36 bits zigzag
+    lo[b4] = (np.uint64(0b11110) << np.uint64(36)) | _zigzag(dod[b4])
+    hi = np.zeros(n - 1, dtype=np.uint64)
+    return head + _pack_ragged(hi, lo, lengths).tobytes()
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        p = self.pos
+        for _ in range(nbits):
+            byte = self.data[p >> 3]
+            out = (out << 1) | ((byte >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return out
+
+
+def decode_dod(buf: bytes) -> np.ndarray:
+    assert buf[0] == _MAGIC_DOD, "not a dod payload"
+    n = int(np.frombuffer(buf[1:5], dtype=">u4")[0])
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    out[0] = int(np.frombuffer(buf[5:13], dtype=">i8")[0])
+    r = _BitReader(buf[13:])
+    prev = out[0]
+    prev_d = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            r.read(1)  # trailing 0 of the '11110' escape prefix
+            dod = _unzigzag(r.read(36))
+        prev_d += dod
+        prev += prev_d
+        out[i] = prev
+    return out
+
+
+def encode_gorilla(values: np.ndarray) -> bytes:
+    """XOR-encode one float64 array. Header: magic u8, n u32be,
+    first value f64be."""
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    n = v.size
+    head = bytes([_MAGIC_GOR]) + np.array([n], dtype=">u4").tobytes()
+    if n == 0:
+        return head
+    head += np.array([v[0]], dtype=">f8").tobytes()
+    if n == 1:
+        return head
+    bits = v.view(np.uint64)
+    x = bits[1:] ^ bits[:-1]
+
+    zero = x == 0
+    # leading/trailing zero counts via byte decomposition + LUT
+    bytes_be = x.astype(">u8").view(np.uint8).reshape(-1, 8)
+    nz = bytes_be != 0
+    first_nz = np.argmax(nz, axis=1)
+    last_nz = 7 - np.argmax(nz[:, ::-1], axis=1)
+    lut_lz = np.array([8 if b == 0 else 8 - int(b).bit_length() for b in range(256)], dtype=np.int64)
+    lut_tz = np.array([8 if b == 0 else (int(b) & -int(b)).bit_length() - 1 for b in range(256)], dtype=np.int64)
+    lz = first_nz * 8 + lut_lz[bytes_be[np.arange(x.size), first_nz]]
+    tz = (7 - last_nz) * 8 + lut_tz[bytes_be[np.arange(x.size), last_nz]]
+    lz = np.where(zero, 0, np.minimum(lz, 63))  # 6-bit field
+    tz = np.where(zero, 0, tz)
+    sig = np.where(zero, 0, 64 - lz - tz)       # significant bit count, 1..64
+
+    lengths = np.where(zero, 1, 13 + sig).astype(np.int64)
+    payload = np.where(zero, np.uint64(0), x >> tz.astype(np.uint64))
+    # code = '1' + lz(6) + (sig-1)(6) + payload(sig)   [sig stored minus one]
+    siglen_field = np.where(zero, 0, sig - 1).astype(np.uint64)
+    ctrl = (np.uint64(1) << np.uint64(12)) | (lz.astype(np.uint64) << np.uint64(6)) | siglen_field
+    total_lo_bits = 13 + sig  # may exceed 64 -> use 128-bit field
+    shifted_ctrl_hi = np.zeros(x.size, dtype=np.uint64)
+    shifted_ctrl_lo = np.zeros(x.size, dtype=np.uint64)
+    nzm = ~zero
+    sh = sig[nzm].astype(np.uint64)
+    c = ctrl[nzm]
+    p = payload[nzm]
+    # place ctrl above payload within the 128-bit (hi,lo) pair:
+    # value = (ctrl << sig) | payload; sig <= 64 so ctrl may spill into hi.
+    lo = np.empty_like(p)
+    hi = np.empty_like(p)
+    small = sh < 64
+    lo[small] = (c[small] << sh[small]) | p[small]
+    hi[small] = c[small] >> (np.uint64(64) - sh[small])
+    lo[~small] = p[~small]  # sig == 64: payload fills lo, ctrl sits in hi
+    hi[~small] = c[~small]
+    shifted_ctrl_lo[nzm] = lo
+    shifted_ctrl_hi[nzm] = hi
+    return head + _pack_ragged(shifted_ctrl_hi, shifted_ctrl_lo, lengths).tobytes()
+
+
+def decode_gorilla(buf: bytes) -> np.ndarray:
+    assert buf[0] == _MAGIC_GOR, "not a gorilla payload"
+    n = int(np.frombuffer(buf[1:5], dtype=">u4")[0])
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    out[0] = float(np.frombuffer(buf[5:13], dtype=">f8")[0])
+    r = _BitReader(buf[13:])
+    prev = int(np.float64(out[0]).view(np.uint64))
+    for i in range(1, n):
+        if r.read(1) == 0:
+            x = 0
+        else:
+            lz = r.read(6)
+            sig = r.read(6) + 1
+            tz = 64 - lz - sig
+            x = r.read(sig) << tz
+        prev ^= x
+        out[i] = np.uint64(prev).view(np.float64)
+    return out

@@ -1,0 +1,79 @@
+"""Round-trip invariants for the rolled-up-point codecs (north_rule:
+reconstructed token arrays equal the original EXACTLY)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from modape_spark.compression import (
+    decode_dod,
+    decode_gorilla,
+    encode_dod,
+    encode_gorilla,
+)
+from modape_spark.fixtures import gen_tokens_block
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 16, 742])
+def test_dod_roundtrip_lengths(n):
+    rng = np.random.default_rng(7)
+    v = rng.integers(-3000, 10000, size=n)
+    assert np.array_equal(decode_dod(encode_dod(v)), v)
+
+
+def test_dod_roundtrip_fixture_tokens():
+    ids = np.arange(50, dtype=np.int64)
+    block = gen_tokens_block(ids, 742)
+    for row in block:
+        out = decode_dod(encode_dod(row))
+        assert np.array_equal(out, row.astype(np.int64))
+
+
+def test_dod_compresses_smooth_series():
+    t = np.arange(742)
+    smooth = np.rint(4000 + 3000 * np.sin(2 * np.pi * t / 46)).astype(np.int64)
+    enc = encode_dod(smooth)
+    assert len(enc) < smooth.size * 4 * 0.5  # beats raw int32 by >2x
+    assert np.array_equal(decode_dod(enc), smooth)
+
+
+def test_dod_extreme_buckets():
+    v = np.array([0, 1, 65, -64, 300, -250, 2100, -2000, 10**9, -(10**9), 0, 0])
+    assert np.array_equal(decode_dod(encode_dod(v)), v)
+
+
+def test_dod_out_of_range_raises():
+    v = np.array([0, 2**40, 0])
+    with pytest.raises(ValueError):
+        encode_dod(v)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 5, 100])
+def test_gorilla_roundtrip_random(n):
+    rng = np.random.default_rng(11)
+    v = rng.normal(0, 1000, n)
+    out = decode_gorilla(encode_gorilla(v))
+    assert v.tobytes() == out.tobytes()  # bit-exact incl. -0.0 / NaN patterns
+
+
+def test_gorilla_roundtrip_special_values():
+    v = np.array([0.0, -0.0, 1.5, 1.5, np.inf, -np.inf, np.nan, 3.14, 2.0**-1030])
+    out = decode_gorilla(encode_gorilla(v))
+    assert v.tobytes() == out.tobytes()
+
+
+def test_gorilla_constant_series_tiny():
+    v = np.full(1000, 123.456)
+    enc = encode_gorilla(v)
+    assert len(enc) < 160  # ~1 bit per repeat
+    assert np.array_equal(decode_gorilla(enc), v)
+
+
+def test_gorilla_smooth_series_compresses():
+    t = np.arange(742)
+    v = np.rint(4000 + 3000 * np.sin(2 * np.pi * t / 46.0))
+    enc = encode_gorilla(v)
+    assert len(enc) < v.size * 8
+    out = decode_gorilla(enc)
+    assert v.tobytes() == out.tobytes()
