@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the rollup workload.
+
+Local-mode stand-in for the multi-executor deployment (BASELINE.md): the
+same partitioning/batching parameters drive executor-task parallelism on a
+real cluster; only ``master`` changes under spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+# One Arrow batch ≈ one kernel block: 2048 rows x 742 pts x 8 B ≈ 12 MiB,
+# small enough that the V-curve working set (~6 temporaries) stays < 100 MiB
+# per task, large enough to amortize the per-batch grid lookup.  The
+# reference's analogue is its HDF5 chunk (= npixels/25 rows, collect.py:263).
+ARROW_BATCH_ROWS = 2048
+
+
+def get_spark(
+    app_name: str = "modape-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "32g",
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cores = int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark(spark: SparkSession) -> None:
+    spark.stop()

@@ -1,0 +1,137 @@
+"""Spark tier materialization vs the identical-code local oracle.
+
+The contract (BASELINE.json north_rule): reconstructed token arrays at every
+tier equal the oracle's EXACTLY.  Because the UDF body IS the oracle
+(rollup.process_length_group), this test proves the Spark plumbing —
+Arrow round-trip, batching, length grouping, partitioning — changes nothing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from modape_spark.compression import decode_dod
+from modape_spark.rollup import SmoothConfig, process_length_group
+from modape_spark.sources.sequences import sequences_df, sequences_local_pandas
+from modape_spark.tiers import (
+    materialize_rollup,
+    rollup_dataframe,
+    tier_view,
+    with_bucket,
+    write_tier_tables,
+)
+
+N_ROWS = 300
+CFG = SmoothConfig(soptimize=True, p=0.90, tempint=(10, 5))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pdf = sequences_local_pandas(N_ROWS)
+    out = {}
+    lens = pdf["n_tok"].to_numpy()
+    tok = pdf["tokens"].to_numpy()
+    for n in np.unique(lens):
+        sel = np.where(lens == n)[0]
+        Y = np.stack(list(tok[sel])).astype(np.float64)
+        res = process_length_group(Y, int(n), CFG)
+        for j, r in enumerate(sel):
+            out[pdf["doc_id"].iloc[r]] = {
+                "smoothed": res.smoothed[j],
+                "dekad": res.interp[10][j],
+                "pentad": res.interp[5][j],
+                "sopt": res.sopt_log10[j],
+                "covered": bool(res.covered[j]),
+            }
+    return out
+
+
+@pytest.fixture(scope="module")
+def rolled_rows(spark):
+    df = rollup_dataframe(sequences_df(spark, N_ROWS, partitions=7), CFG)
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_source_generation_matches_local(spark):
+    got = sequences_df(spark, 50, partitions=5).orderBy("doc_id").collect()
+    exp = sequences_local_pandas(50)
+    assert len(got) == 50
+    for i, row in enumerate(got):
+        assert row["doc_id"] == exp["doc_id"].iloc[i]
+        assert row["n_tok"] == exp["n_tok"].iloc[i]
+        assert row["source"] == exp["source"].iloc[i]
+        assert np.array_equal(np.array(row["tokens"]), exp["tokens"].iloc[i])
+
+
+def test_partition_count_invariance(spark):
+    a = sequences_df(spark, 40, partitions=2).orderBy("doc_id").collect()
+    b = sequences_df(spark, 40, partitions=11).orderBy("doc_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra == rb
+
+
+def test_all_tiers_exact_vs_oracle(rolled_rows, oracle):
+    assert len(rolled_rows) == N_ROWS
+    n_match = 0
+    for doc_id, row in rolled_rows.items():
+        exp = oracle[doc_id]
+        assert row["covered"] == exp["covered"], doc_id
+        assert np.array_equal(np.array(row["smoothed"]), exp["smoothed"]), doc_id
+        assert np.array_equal(np.array(row["dekad"]), exp["dekad"]), doc_id
+        assert np.array_equal(np.array(row["pentad"]), exp["pentad"]), doc_id
+        if exp["covered"]:
+            assert row["sopt_log10"] == pytest.approx(float(exp["sopt"]), abs=0)
+        n_match += 1
+    assert n_match == N_ROWS  # tier-exact match rate 100%
+
+
+def test_compressed_payloads_roundtrip(rolled_rows, oracle):
+    for doc_id, row in rolled_rows.items():
+        exp = oracle[doc_id]
+        assert np.array_equal(decode_dod(bytes(row["smoothed_dod"])), exp["smoothed"])
+        assert np.array_equal(decode_dod(bytes(row["dekad_dod"])), exp["dekad"])
+
+
+def test_materialize_partitioned_and_tier_views(spark, tmp_path):
+    out = str(tmp_path / "combined")
+    materialize_rollup(sequences_df(spark, 120, partitions=4), out, CFG, n_buckets=8)
+    df = spark.read.parquet(out)
+    assert df.count() == 120
+    assert set(df.select("bucket").distinct().toPandas()["bucket"]) <= set(range(8))
+    sm = tier_view(spark, out, "smoothed")
+    assert sm.count() == 120
+    assert "dekad" not in sm.columns
+    tiers = write_tier_tables(spark, out, str(tmp_path / "tiers"), ("dekad",))
+    dk = spark.read.parquet(tiers["dekad"])
+    assert dk.count() == 120
+
+
+def test_bucket_filter_prunes_input(spark, tmp_path):
+    out = str(tmp_path / "partial")
+    raw = sequences_df(spark, 100, partitions=4)
+    materialize_rollup(raw, out, CFG, n_buckets=4, bucket_filter=[0, 1])
+    got = spark.read.parquet(out)
+    assert set(got.select("bucket").distinct().toPandas()["bucket"]) <= {0, 1}
+    expected = with_bucket(raw, 4).filter("bucket in (0,1)").count()
+    assert got.count() == expected
+
+
+def test_sgrid_state_reuse(spark):
+    """ST5: persisted sopt consumed by a fixed-from-grid run (smooth.py:430)."""
+    raw = sequences_df(spark, 60, partitions=3)
+    first = rollup_dataframe(raw, SmoothConfig(soptimize=True, tempint=()))
+    state = first.select("doc_id", "sopt_log10")
+    joined = raw.join(state, "doc_id")  # bucket-colocatable in table form
+    second = rollup_dataframe(joined, SmoothConfig(soptimize=False, svalue=None, tempint=()))
+    rows = {r["doc_id"]: r for r in second.collect()}
+    frows = {r["doc_id"]: r for r in first.collect()}
+    # fixed-from-grid smoothing at the optimized lambda reproduces the
+    # symmetric smooth of the optimizing run
+    for doc_id, r in rows.items():
+        if frows[doc_id]["covered"]:
+            a = np.array(r["smoothed"])
+            b = np.array(frows[doc_id]["smoothed"])
+            # same lambda, same solver -> identical ints
+            assert np.array_equal(a, b), doc_id
