@@ -1,0 +1,182 @@
+"""Incremental append/update semantics (the reference's streaming contract).
+
+Reproduces modis_collect's update path and modis_smooth's windowed forward
+run (SURVEY.md §2.8) on DataFrames:
+
+- ST1 append-only watermark: new batches must be strictly AFTER stored data;
+  late/out-of-order batches are rejected, not merged
+  (/root/reference/modape/modis/collect.py:362-370)
+- J3 duplicate resolution: among conflicting batches for the same key/offset,
+  the latest processing timestamp wins (collect.py:106-142)
+- ST2/ST3 nsmooth/nupdate: recompute only the trailing ``nsmooth`` raw
+  points, rewrite only the trailing ``nupdate`` output points
+  (smooth.py:305,336-352; io.py:108-122,189-202)
+
+Batch table shape (FIXTURES.md §4): ``(doc_id, batch_id, proc_ts,
+tokens_suffix array<int>, start_offset int)`` where start_offset is the
+position in the full series at which the suffix begins (the date-axis
+watermark in positional form — position k <-> a julian date, grids.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .constants import STRES_DEKAD, STRES_PENTAD
+from .rollup import SmoothConfig
+from .tiers import rollup_dataframe
+
+__all__ = [
+    "LateDataError",
+    "dedup_batches",
+    "validate_append",
+    "append_suffixes",
+    "incremental_rollup",
+]
+
+
+class LateDataError(ValueError):
+    """Raised when an update batch is not strictly after stored data
+    (collect.py:367-370: 'Files to be collected need to be sequential')."""
+
+
+def dedup_batches(batches: DataFrame) -> DataFrame:
+    """J3/W2: latest proc_ts wins per (doc_id, start_offset)
+    (collect.py:106-142)."""
+    w = Window.partitionBy("doc_id", "start_offset").orderBy(
+        F.desc("proc_ts"), F.desc("batch_id")
+    )
+    return (
+        batches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def validate_append(raw_df: DataFrame, batches: DataFrame) -> None:
+    """ST1: every suffix must start exactly at the stored watermark
+    (n_tok); anything earlier is late data -> reject the whole batch, as the
+    reference refuses out-of-order collects.  Broadcast-joined: the check
+    touches only (doc_id, n_tok) vs (doc_id, start_offset), never token
+    payloads — cheap at any scale, and the anti-join result is pruned to the
+    first offending rows for the error message.
+    """
+    stored = raw_df.select("doc_id", "n_tok")
+    bad = (
+        batches.select("doc_id", "start_offset")
+        .join(stored, "doc_id", "left")
+        .filter(
+            F.col("n_tok").isNull() | (F.col("start_offset") != F.col("n_tok"))
+        )
+    )
+    sample = bad.limit(5).collect()
+    if sample:
+        raise LateDataError(
+            "non-sequential update batches (late or gapped data rejected, "
+            f"collect.py:367-370 semantics); first offenders: {sample}"
+        )
+
+
+def append_suffixes(raw_df: DataFrame, batches: DataFrame,
+                    validate: bool = True) -> DataFrame:
+    """Merge deduplicated suffix batches onto the raw table
+    (collect.py:332-438 update path): tokens <- tokens || suffix.
+
+    Returns the updated raw DataFrame (caller persists it — with Iceberg
+    this is a MERGE INTO; with parquet tables an overwrite of the affected
+    buckets).
+    """
+    b = dedup_batches(batches)
+    if validate:
+        validate_append(raw_df, b)
+    b = b.select("doc_id", F.col("tokens_suffix"))
+    joined = raw_df.join(b, "doc_id", "left")
+    return (
+        joined.withColumn(
+            "tokens",
+            F.when(
+                F.col("tokens_suffix").isNotNull(),
+                F.concat(F.col("tokens"), F.col("tokens_suffix")),
+            ).otherwise(F.col("tokens")),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .drop("tokens_suffix")
+    )
+
+
+def incremental_rollup(
+    updated_raw: DataFrame,
+    nsmooth: int,
+    nupdate: int,
+    cfg: SmoothConfig | None = None,
+) -> DataFrame:
+    """Forward run: smooth only the trailing ``nsmooth`` raw points and emit
+    only the trailing ``nupdate`` points per tier (smooth.py:336-352).
+
+    The heavy lifting happens inside the same rollup UDF with a windowed
+    config; the output is the recomputed TAIL, to be spliced onto existing
+    tier arrays by merge_tier_tail().  nsmooth bounds state like a sliding
+    window: a 10^12-sequence forward run reads only nsmooth points per key.
+    """
+    if nsmooth and nupdate and nsmooth < nupdate:
+        raise ValueError("nsmooth must be >= nupdate (scripts/modis_smooth.py:142-144)")
+    base = cfg or SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD, STRES_PENTAD))
+    wcfg = SmoothConfig(
+        soptimize=base.soptimize, svalue=base.svalue, srange=base.srange,
+        p=base.p, nodata=base.nodata, coverage_min_frac=base.coverage_min_frac,
+        tempint=base.tempint, nsmooth=nsmooth, nupdate=nupdate,
+    )
+    return rollup_dataframe(updated_raw, wcfg)
+
+
+def merge_tier_tail(
+    existing: DataFrame,
+    tail: DataFrame,
+    value_col: str,
+    nupdate: int,
+    total_col: str | None = None,
+    nodata: int = -3000,
+) -> DataFrame:
+    """ST3 update-tail materialization: splice the recomputed trailing
+    ``nupdate`` points onto the stored tier arrays (io.py:189-202 semantics,
+    xoffset write).
+
+    When the target grid grew (appended tokens extend the dekad/pentad
+    axis), the stored array is first padded with nodata to the new total
+    length — the analogue of the reference's dataset resize with fillvalue
+    (smooth.py:322-333) — using ``total_col`` from the recomputed tail.
+
+    Expressed relationally so Iceberg MERGE INTO can take over when a real
+    catalog is attached; with parquet tables this feeds an overwrite of the
+    affected buckets.
+    """
+    u = int(nupdate)
+    sel = ["doc_id", F.col(value_col).alias("_tail")]
+    if total_col:
+        sel.append(F.col(total_col).alias("_total"))
+    t = tail.select(*sel)
+    joined = existing.join(t, "doc_id", "left")
+    if total_col:
+        padded = F.expr(
+            f"concat({value_col}, array_repeat({int(nodata)}, "
+            f"greatest(_total - size({value_col}), 0)))"
+        )
+    else:
+        padded = F.col(value_col)
+    spliced = F.when(
+        F.col("_tail").isNull(), F.col(value_col)
+    ).otherwise(
+        F.concat(
+            # retained prefix of the (grid-resized) stored array ...
+            F.expr(f"slice(_padded, 1, size(_padded) - {u})"),
+            # ... plus the LAST nupdate recomputed points of the tail
+            F.expr(f"slice(_tail, size(_tail) - {u} + 1, {u})"),
+        )
+    )
+    out = (
+        joined.withColumn("_padded", padded)
+        .withColumn(value_col, spliced)
+        .drop("_tail", "_padded")
+    )
+    return out.drop("_total") if total_col else out

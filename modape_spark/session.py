@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # dynamic: overwrite only the partitions a job writes (idempotent
+        # checkpointed resume, lineage.py)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -36,19 +36,21 @@ from pyspark.sql import functions as F
 
 from .compression import encode_dod
 from .constants import STRES_DEKAD, STRES_PENTAD
+from .grids import grid_for_length
 from .rollup import SmoothConfig, process_length_group
 
 ROLLUP_SCHEMA = (
     "doc_id string, source string, n_tok int, covered boolean, "
     "smoothed array<int>, sopt_log10 float, "
     "dekad array<int>, pentad array<int>, "
-    "smoothed_dod binary, dekad_dod binary, pentad_dod binary"
+    "smoothed_dod binary, dekad_dod binary, pentad_dod binary, "
+    "dekad_total int, pentad_total int"
 )
 
 TIER_COLUMNS = {
     "smoothed": ["doc_id", "source", "n_tok", "covered", "smoothed", "sopt_log10", "smoothed_dod"],
-    "dekad": ["doc_id", "source", "n_tok", "covered", "dekad", "dekad_dod"],
-    "pentad": ["doc_id", "source", "n_tok", "covered", "pentad", "pentad_dod"],
+    "dekad": ["doc_id", "source", "n_tok", "covered", "dekad", "dekad_dod", "dekad_total"],
+    "pentad": ["doc_id", "source", "n_tok", "covered", "pentad", "pentad_dod", "pentad_total"],
 }
 
 
@@ -67,6 +69,8 @@ def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> 
     p_dod = np.empty(R, dtype=object)
     sopt = np.full(R, np.nan, dtype=np.float32)
     covered = np.zeros(R, dtype=bool)
+    dekad_total = np.zeros(R, dtype=np.int32)
+    pentad_total = np.zeros(R, dtype=np.int32)
 
     want_dekad = STRES_DEKAD in cfg.tempint
     want_pentad = STRES_PENTAD in cfg.tempint
@@ -84,12 +88,14 @@ def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> 
                 s_dod[r] = encode_dod(res.smoothed[j])
         if want_dekad:
             blk = res.interp[STRES_DEKAD]
+            dekad_total[sel] = grid_for_length(int(n), STRES_DEKAD).target_ix.size
             for j, r in enumerate(sel):
                 dekad[r] = blk[j]
                 if compress:
                     d_dod[r] = encode_dod(blk[j])
         if want_pentad:
             blk = res.interp[STRES_PENTAD]
+            pentad_total[sel] = grid_for_length(int(n), STRES_PENTAD).target_ix.size
             for j, r in enumerate(sel):
                 pentad[r] = blk[j]
                 if compress:
@@ -108,6 +114,8 @@ def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> 
             "smoothed_dod": s_dod,
             "dekad_dod": d_dod,
             "pentad_dod": p_dod,
+            "dekad_total": dekad_total,
+            "pentad_total": pentad_total,
         }
     )
 
