@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship: full multi-tier Whittaker rollup at sf0.001.
+queries()     -> every implemented operator from SURVEY.md §2 + the
+                 training-data-pipeline suite (dedup/similarity/text/
+                 multimodal/relational).
+oracle_sql()  -> DuckDB ANSI SQL oracles for every SQL-expressible query;
+                 the Whittaker tier queries are sequential banded-solver
+                 kernels (not SQL-expressible) and carry rows-only checks —
+                 their hard gate is tests/ (scalar-order oracle + exact
+                 Spark-vs-local equality).
 """
 
 from __future__ import annotations
@@ -15,24 +19,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: materialize all retention tiers (smoothed/dekad/pentad) for
+    the synthetic sequences table at sf0.001 and return per-row tier
+    checksums."""
+    from modape_spark import entry_queries
+
+    return entry_queries.q_tier_dekad(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from modape_spark import entry_queries
+    from modape_spark.operators import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(entry_queries.QUERIES)
+    out.update(all_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from modape_spark import entry_queries
+    from modape_spark.operators import all_oracles
+
+    out: dict[str, str] = {}
+    out.update(entry_queries.ORACLES)
+    out.update(all_oracles())
+    return out

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "rollup_throughput_seq_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+The headline metric (BASELINE.json): sequences/sec of the full multi-tier
+rollup materialization (raw -> smoothed + dekad + pentad + compressed
+payloads, one kernel pass, columnar write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from modape_spark.entry_queries import (
+        CFG_ALL,
+        q_incremental_forward,
+        q_tier_fixed_lambda,
+        sf_of,
+    )
+    from modape_spark.fixtures import n_rows_for_sf
+    from modape_spark.operators.dedup import q_minhash_lsh
+    from modape_spark.operators.relational import q_pricing_summary, q_sessionize
+    from modape_spark.operators.similarity import q_knn_brute
+    from modape_spark.session import get_spark
+    from modape_spark.sources.sequences import sequences_df
+    from modape_spark.tiers import materialize_rollup
+
+    sf = sf_of(sf_dir)
+    n_rows = n_rows_for_sf(sf)
+    spark = get_spark(app_name="modape-bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 8))
+
+    timings: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="modape_bench_")
+
+    # warm-up (excluded): JVM/Arrow/py-worker spin-up on a small slice
+    sequences_df(spark, 512).count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: full multi-tier materialization (kernel pass + write)
+    out = f"{tmp}/combined"
+    timed("tier_all_materialize",
+          lambda: materialize_rollup(sequences_df(spark, n_rows), out, CFG_ALL,
+                                     n_buckets=max(cpus, 8)))
+    headline_sec = timings["tier_all_materialize"]
+
+    timed("tier_fixed_lambda",
+          lambda: q_tier_fixed_lambda(spark, sf_dir).write.mode("overwrite")
+          .parquet(f"{tmp}/fixed"))
+    timed("incremental_forward",
+          lambda: q_incremental_forward(spark, sf_dir).write.mode("overwrite")
+          .parquet(f"{tmp}/incr"))
+    timed("docs_minhash_lsh", lambda: q_minhash_lsh(spark, sf_dir).count())
+    timed("emb_knn_brute", lambda: q_knn_brute(spark, sf_dir).count())
+    timed("events_sessionize", lambda: q_sessionize(spark, sf_dir).count())
+    timed("tpch_pricing_summary", lambda: q_pricing_summary(spark, sf_dir).count())
+
+    throughput = n_rows / headline_sec if headline_sec > 0 else 0.0
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "rollup_throughput_seq_per_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_sequences": n_rows,
+        "cpus": cpus,
+        "rollup_throughput_seq_per_sec": round(throughput, 1),
+    }
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Tier/kernel queries for the driver contract (__spark_entry__.py).
+
+These run the Whittaker rollup engine on the deterministic synthetic
+sequences table (fixtures.py), sized by the sf of the given data dir.  The
+kernels are not SQL-expressible (sequential banded recurrences), so these
+entries carry no oracle_sql — the driver records rows-only checks; the
+hard correctness gate for the kernels lives in tests/ (scalar-order oracle,
+exact tier equality, reference-count grids).
+
+Outputs are compact, deterministic projections (checksums + heads), stable
+across partitioning and parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compression import decode_dod
+from .constants import STRES_DEKAD, STRES_PENTAD
+from .fixtures import n_rows_for_sf
+from .incremental import append_suffixes, incremental_rollup
+from .rollup import SmoothConfig
+from .sources.sequences import sequences_df
+from .tiers import rollup_dataframe
+
+CFG_ALL = SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD, STRES_PENTAD))
+CFG_SMOOTH = SmoothConfig(soptimize=True, p=0.90, tempint=())
+CFG_FIXED = SmoothConfig(soptimize=False, svalue=1.0, tempint=(STRES_DEKAD,))
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequences_df(spark, n_rows_for_sf(sf_of(sf_dir)))
+
+
+def _checksum(col: str) -> F.Column:
+    return F.expr(f"aggregate({col}, 0L, (acc, v) -> acc + v)")
+
+
+def q_tier_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rolled = rollup_dataframe(_raw(spark, sf_dir), CFG_SMOOTH)
+    return rolled.select(
+        "doc_id", "source", "n_tok", "covered",
+        F.round(F.col("sopt_log10").cast("double"), 4).alias("sopt_log10_r"),
+        _checksum("smoothed").alias("smoothed_sum"),
+        F.element_at("smoothed", 1).alias("first_val"),
+        F.element_at("smoothed", -1).alias("last_val"),
+    ).orderBy("doc_id")
+
+
+def q_tier_dekad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rolled = rollup_dataframe(_raw(spark, sf_dir), CFG_ALL)
+    return rolled.select(
+        "doc_id", "n_tok", "covered",
+        F.size("dekad").alias("n_points"),
+        _checksum("dekad").alias("dekad_sum"),
+        F.element_at("dekad", -1).alias("last_val"),
+    ).orderBy("doc_id")
+
+
+def q_tier_pentad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rolled = rollup_dataframe(_raw(spark, sf_dir), CFG_ALL)
+    return rolled.select(
+        "doc_id", "n_tok", "covered",
+        F.size("pentad").alias("n_points"),
+        _checksum("pentad").alias("pentad_sum"),
+        F.element_at("pentad", -1).alias("last_val"),
+    ).orderBy("doc_id")
+
+
+def q_tier_fixed_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed lambda=10 smoothing (the golden-test configuration,
+    /root/reference/tests/test_whittaker.py:37)."""
+    rolled = rollup_dataframe(_raw(spark, sf_dir), CFG_FIXED)
+    return rolled.select(
+        "doc_id", "covered",
+        _checksum("smoothed").alias("smoothed_sum"),
+        _checksum("dekad").alias("dekad_sum"),
+    ).orderBy("doc_id")
+
+
+_RT_SCHEMA = "doc_id string, ok int, raw_bytes long, dod_bytes long"
+
+
+def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        oks, rb, db = [], [], []
+        for sm, blob in zip(pdf["smoothed"], pdf["smoothed_dod"]):
+            arr = np.asarray(sm, dtype=np.int64)
+            dec = decode_dod(bytes(blob))
+            oks.append(int(np.array_equal(dec, arr)))
+            rb.append(arr.size * 4)
+            db.append(len(blob))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "ok": oks, "raw_bytes": rb, "dod_bytes": db}
+        )
+
+
+def q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(encode(x)) == x on a deterministic 2% sample (north_rule
+    token-array equality); also reports the compression ratio."""
+    raw = _raw(spark, sf_dir).filter(F.pmod(F.xxhash64("doc_id"), F.lit(50)) == 0)
+    rolled = rollup_dataframe(raw, CFG_SMOOTH)
+    rt = rolled.select("doc_id", "smoothed", "smoothed_dod").mapInPandas(
+        _roundtrip, _RT_SCHEMA
+    )
+    return rt.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("ok").alias("n_exact"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("dod_bytes").alias("dod_bytes"),
+    )
+
+
+def q_incremental_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E forward step (tests/test_cli.py:646-658 shape): split the last 2
+    tokens off as an update batch, append, run nsmooth=16/nupdate=1."""
+    full = _raw(spark, sf_dir)
+    init = (
+        full.withColumn("tokens_full", F.col("tokens"))
+        .withColumn("tokens", F.expr("slice(tokens, 1, n_tok - 2)"))
+        .withColumn("n_tok", (F.col("n_tok") - 2).cast("int"))
+    )
+    batches = init.select(
+        "doc_id",
+        F.lit("fwd").alias("batch_id"),
+        F.lit(1).cast("long").alias("proc_ts"),
+        F.expr("slice(tokens_full, n_tok + 1, 2)").alias("tokens_suffix"),
+        F.col("n_tok").cast("int").alias("start_offset"),
+    )
+    updated = append_suffixes(init.drop("tokens_full"), batches)
+    tail = incremental_rollup(updated, nsmooth=16, nupdate=1,
+                              cfg=SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD,)))
+    return tail.select(
+        "doc_id", "covered",
+        _checksum("smoothed").alias("window_sum"),
+        F.element_at("smoothed", -1).alias("last_val"),
+        F.size("dekad").alias("dekad_points"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "tier_smoothed_optvp": q_tier_smoothed,
+    "tier_dekad": q_tier_dekad,
+    "tier_pentad": q_tier_pentad,
+    "tier_fixed_lambda": q_tier_fixed_lambda,
+    "compress_roundtrip": q_compress_roundtrip,
+    "incremental_forward": q_incremental_forward,
+}
+
+# non-SQL-expressible (sequential banded solver) -> no oracle entries
+ORACLES: dict[str, str] = {}

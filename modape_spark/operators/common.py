@@ -1,0 +1,64 @@
+"""Shared helpers for the operator suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# 31-bit Mersenne prime: products of two residues stay < 2^62, safe under
+# ANSI int64 arithmetic in BOTH engines.
+P31 = 2147483647
+
+# MinHash permutation constants (k=16), deterministic, < P31.
+MINHASH_A = [1203077317, 551231021, 1874941193, 994933573, 1726493473,
+             333190733, 1387158599, 760291381, 1599564571, 206151983,
+             1057963519, 1771570841, 483571613, 917923457, 1306881281, 65537]
+MINHASH_B = [926204573, 1442969111, 87741649, 1860539113, 508570397,
+             1141923029, 339900839, 1968666427, 74509847, 1349262403,
+             693910861, 26174893, 1553171149, 420516131, 1816687969, 257]
+
+N_MINHASH = 16
+N_BANDS = 4
+BAND_ROWS = 4
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver tables as temp views with the same names the
+    driver's DuckDB oracle uses, so query text is portable."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Cross-engine 32-bit string hash: first 8 hex chars of md5 as int64.
+def h32_spark(col: str) -> str:
+    return f"cast(conv(substr(md5({col}), 1, 8), 16, 10) as bigint)"
+
+
+def h32_duck(col: str) -> str:
+    return f"('0x' || substring(md5({col}), 1, 8))::bigint"
+
+
+# 3-word shingles of lowercase whitespace-tokenized text (dedup papers'
+# standard w-shingling, Broder 1997), distinct per doc.
+def shingles_spark(text_col: str = "text") -> str:
+    w = f"split(lower({text_col}), ' ')"
+    return (
+        f"array_distinct(case when size({w}) >= 3 then "
+        f"transform(sequence(0, size({w}) - 3), "
+        f"i -> concat({w}[i], ' ', {w}[i+1], ' ', {w}[i+2])) "
+        f"else array() end)"
+    )
+
+
+def shingles_duck(text_col: str = "text") -> str:
+    w = f"string_split(lower({text_col}), ' ')"
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({w}) - 2, 0)), "
+        f"i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+    )

@@ -1,0 +1,237 @@
+"""Deduplication operators over ``documents``: exact, MinHash+LSH banding,
+SimHash, exact n-gram Jaccard.
+
+Scale notes:
+- exact dedup: one hash-groupBy (map-side partial agg, single shuffle on the
+  content key).
+- MinHash/LSH: signatures are per-row expressions (no shuffle); candidate
+  generation joins on (band, band_hash) — the classic bucket join whose
+  fan-out is bounded by band collisions, not O(n^2).  At 100 TB the band
+  join is the only shuffle and is keyed by a uniform hash.
+- exact Jaccard: shingle explode + self-equi-join on the shingle; quadratic
+  only within a shingle's posting list.  Kept as the verifier for LSH
+  candidates (and as its own query at small SF).
+All are pure Catalyst expressions with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .common import (
+    BAND_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    N_BANDS,
+    N_MINHASH,
+    P31,
+    h32_duck,
+    h32_spark,
+    register_views,
+    shingles_duck,
+    shingles_spark,
+)
+
+JACCARD_THRESHOLD = 0.2
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups on a normalized content key (first 8 words)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        with keyed as (
+            select doc_id,
+                   md5(concat_ws(' ', slice(split(lower(text), ' '), 1, 8))) as content_key
+            from documents
+        )
+        select content_key, count(*) as n_dups,
+               min(doc_id) as min_doc, max(doc_id) as max_doc
+        from keyed
+        group by content_key
+        having count(*) > 1
+        order by n_dups desc, content_key
+    """)
+
+
+ORACLE_EXACT_DEDUP = """
+    with keyed as (
+        select doc_id,
+               md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) as content_key
+        from documents
+    )
+    select content_key, count(*) as n_dups,
+           min(doc_id) as min_doc, max(doc_id) as max_doc
+    from keyed
+    group by content_key
+    having count(*) > 1
+    order by n_dups desc, content_key
+"""
+
+
+def _minhash_sql_spark() -> str:
+    sh = shingles_spark()
+    els = ", ".join(
+        f"array_min(transform({sh}, s -> (({a} * ({h32_spark('s')} % {P31})) % {P31} + {b}) % {P31}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"array({els})"
+
+
+def _minhash_sql_duck() -> str:
+    sh = shingles_duck()
+    els = ", ".join(
+        f"list_min(list_transform({sh}, s -> (({a} * ({h32_duck('s')} % {P31})) % {P31} + {b}) % {P31}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"[{els}]"
+
+
+def _bands_cte(mh_expr: str, dialect: str) -> str:
+    """doc_id, band, band_hash rows; band hash = fold of the band's rows."""
+    if dialect == "spark":
+        fold = (
+            f"aggregate(slice(mh, band * {BAND_ROWS} + 1, {BAND_ROWS}), "
+            f"0L, (acc, v) -> (acc * 31 + v) % {P31})"
+        )
+        return f"""
+            sigs as (
+                select doc_id, {mh_expr} as mh from documents
+                where size(split(text, ' ')) >= 3
+            ),
+            bands as (
+                select doc_id, band, {fold} as band_hash
+                from sigs lateral view explode(sequence(0, {N_BANDS - 1})) t as band
+            )
+        """
+    fold = (
+        f"list_reduce(list_prepend(0, mh[band * {BAND_ROWS} + 1 : "
+        f"band * {BAND_ROWS} + {BAND_ROWS}]), (acc, v) -> (acc * 31 + v) % {P31})"
+    )
+    return f"""
+        sigs as (
+            select doc_id, {mh_expr} as mh from documents
+            where len(string_split(text, ' ')) >= 3
+        ),
+        bands as (
+            select doc_id, band, {fold} as band_hash
+            from sigs, (select unnest(generate_series(0, {N_BANDS - 1})) as band)
+        )
+    """
+
+
+def _minhash_pairs_sql(dialect: str) -> str:
+    mh = _minhash_sql_spark() if dialect == "spark" else _minhash_sql_duck()
+    bands = _bands_cte(mh, dialect)
+    mh_join = "join sigs a on a.doc_id = p.da join sigs b on b.doc_id = p.db"
+    if dialect == "spark":
+        n_eq = f"size(filter(sequence(0, {N_MINHASH - 1}), i -> a.mh[i] = b.mh[i]))"
+    else:
+        n_eq = f"len(list_filter(generate_series(1, {N_MINHASH}), i -> a.mh[i] = b.mh[i]))"
+    return f"""
+        with {bands},
+        cand as (
+            select distinct x.doc_id as da, y.doc_id as db
+            from bands x join bands y
+              on x.band = y.band and x.band_hash = y.band_hash
+             and x.doc_id < y.doc_id
+        )
+        select p.da as doc_a, p.db as doc_b,
+               {n_eq} as n_equal_minhash,
+               {n_eq} * {10000 // N_MINHASH} as est_jaccard_e4
+        from cand p {mh_join}
+        order by doc_a, doc_b
+    """
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_minhash_pairs_sql("spark"))
+
+
+def _simhash_sql(dialect: str) -> str:
+    """16-bit SimHash (Charikar 2002) per document from shingle hashes."""
+    if dialect == "spark":
+        sh, h = shingles_spark(), h32_spark("s.col")
+        explode = f"select doc_id, s.col as sh_h from (select doc_id, {sh} as shs from documents) lateral view explode(shs) s as col"
+        hval = h32_spark("sh_h")
+    else:
+        sh = shingles_duck()
+        explode = f"select doc_id, unnest({sh}) as sh_h from documents"
+        hval = h32_duck("sh_h")
+    if dialect == "spark":
+        bit_sums = ", ".join(
+            f"sum(case when shiftright({hval}, {k}) % 2 = 1 then 1 else -1 end) as b{k}"
+            for k in range(16)
+        )
+    else:
+        bit_sums = ", ".join(
+            f"sum(case when ({hval} >> {k}) % 2 = 1 then 1 else -1 end) as b{k}"
+            for k in range(16)
+        )
+    fp = " + ".join(f"(case when b{k} > 0 then {1 << k} else 0 end)" for k in range(16))
+    return f"""
+        with sh as ({explode}),
+        bits as (select doc_id, {bit_sums} from sh group by doc_id)
+        select doc_id, {fp} as simhash16
+        from bits
+        order by doc_id
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_simhash_sql("spark"))
+
+
+def _jaccard_sql(dialect: str) -> str:
+    # exact integer fixed-point: no float rounding-mode divergence
+    div = ("c * 10000 div (ca.n + cb.n - c)" if dialect == "spark"
+           else "c * 10000 // (ca.n + cb.n - c)")
+    if dialect == "spark":
+        sh = shingles_spark()
+        explode = (
+            f"select doc_id, s.col as sh from (select doc_id, {sh} as shs "
+            f"from documents) lateral view explode(shs) s as col"
+        )
+    else:
+        sh = shingles_duck()
+        explode = f"select doc_id, unnest({sh}) as sh from documents"
+    return f"""
+        with shingled as ({explode}),
+        counts as (select doc_id, count(*) as n from shingled group by doc_id),
+        common as (
+            select a.doc_id as da, b.doc_id as db, count(*) as c
+            from shingled a join shingled b
+              on a.sh = b.sh and a.doc_id < b.doc_id
+            group by a.doc_id, b.doc_id
+        )
+        select da as doc_a, db as doc_b,
+               c as n_common,
+               (ca.n + cb.n - c) as n_union,
+               {div} as jaccard_e4
+        from common
+        join counts ca on ca.doc_id = da
+        join counts cb on cb.doc_id = db
+        where 5 * c >= (ca.n + cb.n - c)   -- jaccard >= 0.2, exact integers
+        order by doc_a, doc_b
+    """
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_jaccard_sql("spark"))
+
+
+QUERIES = {
+    "docs_exact_dedup": q_exact_dedup,
+    "docs_minhash_lsh": q_minhash_lsh,
+    "docs_simhash": q_simhash,
+    "docs_ngram_jaccard": q_ngram_jaccard,
+}
+
+ORACLES = {
+    "docs_exact_dedup": ORACLE_EXACT_DEDUP,
+    "docs_minhash_lsh": _minhash_pairs_sql("duck"),
+    "docs_simhash": _simhash_sql("duck"),
+    "docs_ngram_jaccard": _jaccard_sql("duck"),
+}

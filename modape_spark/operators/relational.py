@@ -1,0 +1,295 @@
+"""Relational operators mirroring the reference's alignment/validation
+semantics on the driver's events + TPC-H-ish tables.
+
+Mapping to SURVEY.md §2 (citations into /root/reference/):
+- events_dedup_latest  -> J3/W2 duplicate resolution, latest-timestamp-wins
+                          (modape/modis/collect.py:106-142)
+- events_date_slice    -> P5 date-range slice (modape/modis/window.py:200-207)
+- events_completeness  -> A7 expected-vs-present date audit
+                          (modape/scripts/modis_util.py:42-92)
+- events_sessionize    -> W3 sequentiality/gap detection (utils.py:137-159)
+- grid_dekad_pentad    -> F3/F4 calendar target grids (utils.py:189-222)
+- tpch_pricing_summary -> A6-style whole-table metric rollup
+- tpch_top_suppliers   -> J6-style small-dimension equi-join (broadcast)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import register_views, table
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per (user_id, event_type) — the canonical dedup window."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        with ranked as (
+            select user_id, event_type, event_id, value,
+                   row_number() over (
+                       partition by user_id, event_type
+                       order by ts desc, event_id desc
+                   ) as rn
+            from events
+        )
+        select user_id, event_type, event_id as latest_event_id, value
+        from ranked where rn = 1
+        order by user_id, event_type
+    """)
+
+
+ORACLE_DEDUP_LATEST = """
+    with ranked as (
+        select user_id, event_type, event_id, value,
+               row_number() over (
+                   partition by user_id, event_type
+                   order by ts desc, event_id desc
+               ) as rn
+        from events
+    )
+    select user_id, event_type, event_id as latest_event_id, value
+    from ranked where rn = 1
+    order by user_id, event_type
+"""
+
+
+def q_date_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        select event_type,
+               count(*) as n,
+               round(sum(value), 2) as sum_value,
+               cast(round(sum(value) * 100) as bigint) * 10 div count(*) as avg_value_milli
+        from events
+        where ts >= timestamp '2024-01-08 00:00:00'
+          and ts <  timestamp '2024-01-15 00:00:00'
+        group by event_type
+        order by event_type
+    """)
+
+
+ORACLE_DATE_SLICE = """
+    select event_type,
+           count(*) as n,
+           round(sum(value), 2) as sum_value,
+           (round(sum(value) * 100)::bigint * 10) // count(*) as avg_value_milli
+    from events
+    where ts >= timestamp '2024-01-08 00:00:00'
+      and ts <  timestamp '2024-01-15 00:00:00'
+    group by event_type
+    order by event_type
+"""
+
+
+def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with days missing from the expected daily grid (A7)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        with bounds as (
+            select to_date(min(ts)) as d0, to_date(max(ts)) as d1 from events
+        ),
+        grid as (
+            select u.user_id, d.day
+            from (select distinct user_id from events) u
+            cross join (
+                select explode(sequence(d0, d1, interval 1 day)) as day from bounds
+            ) d
+        ),
+        present as (select distinct user_id, to_date(ts) as day from events)
+        select g.user_id, count(*) as missing_days
+        from grid g left join present p
+          on g.user_id = p.user_id and g.day = p.day
+        where p.user_id is null
+        group by g.user_id
+        having count(*) > 0
+        order by g.user_id
+    """)
+
+
+ORACLE_COMPLETENESS = """
+    with bounds as (
+        select min(ts)::date as d0, max(ts)::date as d1 from events
+    ),
+    grid as (
+        select u.user_id, d.day
+        from (select distinct user_id from events) u
+        cross join (
+            select unnest(generate_series(d0, d1, interval 1 day))::date as day
+            from bounds
+        ) d
+    ),
+    present as (select distinct user_id, ts::date as day from events)
+    select g.user_id, count(*) as missing_days
+    from grid g left join present p
+      on g.user_id = p.user_id and g.day = p.day
+    where p.user_id is null
+    group by g.user_id
+    having count(*) > 0
+    order by g.user_id
+"""
+
+_SESSION_GAP_MIN = 30
+
+
+def _sessionize_sql(ts_diff_expr: str) -> str:
+    return f"""
+        with ordered as (
+            select user_id, ts,
+                   lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+            from events
+        ),
+        flagged as (
+            select user_id, ts,
+                   case when prev_ts is null or {ts_diff_expr} > {_SESSION_GAP_MIN * 60}
+                        then 1 else 0 end as new_session
+            from ordered
+        ),
+        sess as (
+            select user_id,
+                   sum(new_session) over (
+                       partition by user_id order by ts
+                       rows between unbounded preceding and current row
+                   ) as session_id
+            from flagged
+        )
+        select user_id,
+               count(distinct session_id) as n_sessions,
+               count(*) as n_events
+        from sess
+        group by user_id
+        order by user_id
+    """
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_sessionize_sql(
+        "unix_timestamp(ts) - unix_timestamp(prev_ts)"))
+
+
+# epoch()::bigint truncates like Spark's unix_timestamp (whole seconds)
+ORACLE_SESSIONIZE = _sessionize_sql("epoch(ts)::bigint - epoch(prev_ts)::bigint")
+
+
+def _grid_sql(dialect: str) -> str:
+    """Dekad + pentad calendar grids for 2002-2004 (F3/F4)."""
+    if dialect == "spark":
+        julian = "date_format(d, 'yyyyDDD')"
+        days = (
+            "select explode(sequence(to_date('2002-01-01'), to_date('2004-12-31'), "
+            "interval 1 day)) as d"
+        )
+    else:
+        julian = "strftime(d, '%Y%j')"
+        days = (
+            "select unnest(generate_series(date '2002-01-01', date '2004-12-31', "
+            "interval 1 day))::date as d"
+        )
+    return f"""
+        with days as ({days})
+        select
+            case when day(d) in (5, 15, 25) then 'dekad' else 'pentad' end as grid,
+            {julian} as julian
+        from days
+        where day(d) in (5, 15, 25)
+           or day(d) in (3, 8, 13, 18, 23, 28)
+        order by grid, julian
+    """
+
+
+def q_grid_dekad_pentad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_grid_sql("spark"))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style rollup — whole-table metric aggregation (A6)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+               round(round(sum(l_quantity), 4) / count(*), 4) as avg_qty,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate < timestamp '1998-09-02 00:00:00'
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+    """)
+
+
+ORACLE_PRICING = """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) as sum_qty,
+           round(sum(l_extendedprice), 2) as sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+           round(round(sum(l_quantity), 4) / count(*), 4) as avg_qty,
+           count(*) as count_order
+    from lineitem
+    where l_shipdate < timestamp '1998-09-02 00:00:00'
+    group by l_returnflag, l_linestatus
+    order by l_returnflag, l_linestatus
+"""
+
+
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join of the small supplier dim onto lineitem (J6
+    analogue: small state joined onto the big fact side)."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy(F.desc("revenue"), "suppkey")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_SUPPLIERS = """
+    with rev as (
+        select l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+               count(*) as n_items
+        from lineitem group by l_suppkey
+    )
+    select s_suppkey as suppkey, s_name as supp_name, revenue, n_items
+    from rev join supplier on l_suppkey = s_suppkey
+    order by revenue desc, suppkey
+    limit 10
+"""
+
+
+QUERIES = {
+    "events_dedup_latest": q_dedup_latest,
+    "events_date_slice": q_date_slice,
+    "events_completeness": q_completeness,
+    "events_sessionize": q_sessionize,
+    "grid_dekad_pentad": q_grid_dekad_pentad,
+    "tpch_pricing_summary": q_pricing_summary,
+    "tpch_top_suppliers": q_top_suppliers,
+}
+
+ORACLES = {
+    "events_dedup_latest": ORACLE_DEDUP_LATEST,
+    "events_date_slice": ORACLE_DATE_SLICE,
+    "events_completeness": ORACLE_COMPLETENESS,
+    "events_sessionize": ORACLE_SESSIONIZE,
+    "grid_dekad_pentad": _grid_sql("duck"),
+    "tpch_pricing_summary": ORACLE_PRICING,
+    "tpch_top_suppliers": ORACLE_TOP_SUPPLIERS,
+}

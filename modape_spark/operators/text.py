@@ -1,0 +1,184 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All four are declarative (pure Catalyst expressions — regexp/array
+built-ins, no UDFs): filters and projections push to the parquet scan,
+aggregation is map-side partial, and nothing leaves whole-stage codegen.
+Each has a DuckDB oracle running the same logic in DuckDB's dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .common import P31, h32_duck, h32_spark, register_views
+
+# BPE-ish token regex: letter runs, digit runs, single other non-space.
+# (literal space in the negated class: '\s' escapes differently in Spark vs
+# DuckDB string literals)
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# tiny per-language marker sets for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+
+def _stop_hits(words_expr: str, markers: tuple[str, ...], dialect: str) -> str:
+    fn = "size" if dialect == "spark" else "len"
+    filt = "filter" if dialect == "spark" else "list_filter"
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"{fn}({filt}({words_expr}, x -> x in ({lst})))"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        select source,
+               count(*) as n_docs,
+               sum(size(split(text, ' '))) as ws_tokens,
+               sum(size(regexp_extract_all(text, '{TOKEN_RE}', 0))) as bpe_tokens,
+               round(avg(n_chars), 4) as avg_chars
+        from documents
+        group by source
+        order by source
+    """)
+
+
+ORACLE_TOKEN_COUNT = f"""
+    select source,
+           count(*) as n_docs,
+           sum(len(string_split(text, ' '))) as ws_tokens,
+           sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) as bpe_tokens,
+           round(avg(n_chars), 4) as avg_chars
+    from documents
+    group by source
+    order by source
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return spark.sql(f"""
+        with scored as (
+            select doc_id, source,
+                   size(split(text, ' ')) as wc,
+                   n_chars,
+                   size(filter(split(lower(text), ' '), x -> x in ({stop}))) as stop_hits
+            from documents
+        ),
+        q as (
+            select source,
+                   case when wc < 20 then 'short'
+                        when stop_hits * 100 > 8 * wc then 'stopword_rich'
+                        when n_chars * 10 > 60 * wc then 'long_words'
+                        else 'ok' end as quality_bucket
+            from scored
+        )
+        select source, quality_bucket, count(*) as n
+        from q group by source, quality_bucket
+        order by source, quality_bucket
+    """)
+
+
+ORACLE_QUALITY = f"""
+    with scored as (
+        select doc_id, source,
+               len(string_split(text, ' ')) as wc,
+               n_chars,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x in ({', '.join(repr(s) for s in STOPWORDS)}))) as stop_hits
+        from documents
+    ),
+    q as (
+        select source,
+               case when wc < 20 then 'short'
+                    when stop_hits * 100 > 8 * wc then 'stopword_rich'
+                    when n_chars * 10 > 60 * wc then 'long_words'
+                    else 'ok' end as quality_bucket
+        from scored
+    )
+    select source, quality_bucket, count(*) as n
+    from q group by source, quality_bucket
+    order by source, quality_bucket
+"""
+
+
+def _langid_case(dialect: str) -> str:
+    w = "split(lower(text), ' ')" if dialect == "spark" else "string_split(lower(text), ' ')"
+    hits = {L: _stop_hits(w, m, dialect) for L, m in LANG_MARKERS.items()}
+    # argmax with deterministic tie-break order en > es > de > fr > unknown
+    return f"""
+        case when {hits['en']} >= {hits['es']} and {hits['en']} >= {hits['de']}
+                  and {hits['en']} >= {hits['fr']} and {hits['en']} > 0 then 'en'
+             when {hits['es']} >= {hits['de']} and {hits['es']} >= {hits['fr']}
+                  and {hits['es']} > 0 then 'es'
+             when {hits['de']} >= {hits['fr']} and {hits['de']} > 0 then 'de'
+             when {hits['fr']} > 0 then 'fr'
+             else 'unknown' end
+    """
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        select {_langid_case('spark')} as lang_pred, lang, count(*) as n
+        from documents
+        group by lang_pred, lang
+        order by lang_pred, lang
+    """)
+
+
+ORACLE_LANGID = f"""
+    select {_langid_case('duck')} as lang_pred, lang, count(*) as n
+    from documents
+    group by lang_pred, lang
+    order by lang_pred, lang
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over word hashes (Rabin-Karp style)."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        select doc_id,
+               aggregate(
+                   transform(split(lower(text), ' '), w -> {h32_spark('w')} % {P31}),
+                   0L, (acc, h) -> (acc * 31 + h) % {P31}
+               ) as fingerprint
+        from documents
+        order by doc_id
+    """)
+
+
+ORACLE_FINGERPRINT = f"""
+    select doc_id,
+           list_reduce(
+               list_prepend(0, list_transform(string_split(lower(text), ' '),
+                                              w -> {h32_duck('w')} % {P31})),
+               (acc, h) -> (acc * 31 + h) % {P31}
+           ) as fingerprint
+    from documents
+    order by doc_id
+"""
+
+
+QUERIES = {
+    "docs_token_count": q_token_count,
+    "docs_quality": q_quality,
+    "docs_langid": q_langid,
+    "docs_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "docs_token_count": ORACLE_TOKEN_COUNT,
+    "docs_quality": ORACLE_QUALITY,
+    "docs_langid": ORACLE_LANGID,
+    "docs_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,79 @@
+"""Driver-contract rehearsal: every queries() entry runs, and every
+oracle_sql() entry matches the Spark result (row count + column names +
+order-insensitive values), exactly like the driver's CORRECTNESS check."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def _rows_to_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) >= 1
+    assert len(df.columns) >= 2
+
+
+def test_all_queries_run(spark):
+    qs = entry_mod.queries()
+    assert len(qs) >= 15
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        assert df.columns, name
+        df.limit(1).collect()
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(spark, duck, name):
+    qs = entry_mod.queries()
+    sql = entry_mod.oracle_sql()[name]
+    sdf = qs[name](spark, SF_DIR)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sset = _rows_to_set(scols, srows)
+    dset = _rows_to_set(dcols, drows)
+    mism = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b]
+    assert not mism, f"{name}: first mismatches {[(sset[i], dset[i]) for i in mism[:3]]}"
