@@ -91,7 +91,42 @@ def _as_lam(lam, R: int) -> np.ndarray:
     return lam
 
 
-def ws2d_batch(Y: np.ndarray, lam, W: np.ndarray) -> np.ndarray:
+class Workspace:
+    """Reusable solver buffers.
+
+    The V-curve/envelope paths call the banded solve O(grid x 10) times per
+    batch; allocating 4 fresh (n, R) arrays per solve makes the kernel
+    allocation/page-fault bound (large numpy allocs are mmap'd and returned
+    to the OS on free).  One workspace per (n, R) shape removes that churn;
+    Spark Python workers each hold their own (module state is per-process).
+    """
+
+    __slots__ = ("shape", "d", "c", "e", "z")
+
+    def __init__(self, n: int, R: int):
+        self.shape = (n, R)
+        self.d = np.empty((n, R))
+        self.c = np.empty((n, R))
+        self.e = np.empty((n, R))
+        self.z = np.empty((n, R))
+
+
+_WS_CACHE: dict[tuple[int, int], Workspace] = {}
+
+
+def get_workspace(n: int, R: int) -> Workspace:
+    ws = _WS_CACHE.get((n, R))
+    if ws is None:
+        # keep the cache tiny: distinct (n, R) pairs per worker are few
+        if len(_WS_CACHE) > 8:
+            _WS_CACHE.clear()
+        ws = Workspace(n, R)
+        _WS_CACHE[(n, R)] = ws
+    return ws
+
+
+def ws2d_batch(Y: np.ndarray, lam, W: np.ndarray,
+               work: Workspace | None = None) -> np.ndarray:
     """Batched Whittaker smoother, 2nd-order differences, fixed lambda.
 
     Solves (diag(w) + lambda * D2^T D2) z = w*y for each row via the banded
@@ -115,35 +150,47 @@ def ws2d_batch(Y: np.ndarray, lam, W: np.ndarray) -> np.ndarray:
     lam = _as_lam(lam, R)
     m = n - 1
 
-    d = np.empty((n, R))
-    c = np.empty((n, R))
-    e = np.empty((n, R))
-    z = np.empty((n, R))
+    ws = work if work is not None and work.shape == (n, R) else get_workspace(n, R)
+    d, c, e, z = ws.d, ws.c, ws.e, ws.z
     # column-major over time so each recurrence step touches contiguous rows
     Yt = Y.T
     Wt = W.T
+    # precomputed lambda multiples / products: identical single ops to the
+    # reference's per-step `6 * lmda` etc., hoisted out of the loop
+    lam2n = -2 * lam
+    lam4n = -4 * lam
+    lam5 = 5 * lam
+    lam6 = 6 * lam
+    np.multiply(Wt, Yt, out=z)  # z[i] starts as w[i]*y[i] (same product)
 
     d[0] = Wt[0] + lam
-    c[0] = (-2 * lam) / d[0]
+    c[0] = lam2n / d[0]
     e[0] = lam / d[0]
-    z[0] = Wt[0] * Yt[0]
-    d[1] = Wt[1] + 5 * lam - d[0] * (c[0] * c[0])
-    c[1] = (-4 * lam - d[0] * c[0] * e[0]) / d[1]
+    d[1] = Wt[1] + lam5 - d[0] * (c[0] * c[0])
+    c[1] = (lam4n - d[0] * c[0] * e[0]) / d[1]
     e[1] = lam / d[1]
-    z[1] = Wt[1] * Yt[1] - c[0] * z[0]
+    z[1] -= c[0] * z[0]
     for i in range(2, m - 1):
-        d[i] = Wt[i] + 6 * lam - (c[i - 1] * c[i - 1]) * d[i - 1] - (e[i - 2] * e[i - 2]) * d[i - 2]
-        c[i] = (-4 * lam - d[i - 1] * c[i - 1] * e[i - 1]) / d[i]
+        d[i] = Wt[i] + lam6 - (c[i - 1] * c[i - 1]) * d[i - 1] - (e[i - 2] * e[i - 2]) * d[i - 2]
+        c[i] = (lam4n - d[i - 1] * c[i - 1] * e[i - 1]) / d[i]
         e[i] = lam / d[i]
-        z[i] = Wt[i] * Yt[i] - c[i - 1] * z[i - 1] - e[i - 2] * z[i - 2]
-    d[m - 1] = Wt[m - 1] + 5 * lam - (c[m - 2] * c[m - 2]) * d[m - 2] - (e[m - 3] * e[m - 3]) * d[m - 3]
-    c[m - 1] = (-2 * lam - d[m - 2] * c[m - 2] * e[m - 2]) / d[m - 1]
-    z[m - 1] = Wt[m - 1] * Yt[m - 1] - c[m - 2] * z[m - 2] - e[m - 3] * z[m - 3]
+        # two sequential subtractions — same rounding order as the reference
+        z[i] -= c[i - 1] * z[i - 1]
+        z[i] -= e[i - 2] * z[i - 2]
+    d[m - 1] = Wt[m - 1] + lam5 - (c[m - 2] * c[m - 2]) * d[m - 2] - (e[m - 3] * e[m - 3]) * d[m - 3]
+    c[m - 1] = (lam2n - d[m - 2] * c[m - 2] * e[m - 2]) / d[m - 1]
+    z[m - 1] -= c[m - 2] * z[m - 2]
+    z[m - 1] -= e[m - 3] * z[m - 3]
     d[m] = Wt[m] + lam - (c[m - 1] * c[m - 1]) * d[m - 1] - (e[m - 2] * e[m - 2]) * d[m - 2]
-    z[m] = (Wt[m] * Yt[m] - c[m - 1] * z[m - 1] - e[m - 2] * z[m - 2]) / d[m]
+    z[m] = (z[m] - c[m - 1] * z[m - 1] - e[m - 2] * z[m - 2]) / d[m]
     z[m - 1] = z[m - 1] / d[m - 1] - c[m - 1] * z[m]
+    # z[i]/d[i] hoisted to one full-matrix divide — the same elementwise
+    # division the reference performs inside the back-substitution loop
+    # (its z[i] is final after the forward pass), so rounding is identical
+    np.divide(z[: m - 1], d[: m - 1], out=z[: m - 1])
     for i in range(m - 2, -1, -1):
-        z[i] = z[i] / d[i] - c[i] * z[i + 1] - e[i] * z[i + 2]
+        z[i] -= c[i] * z[i + 1]
+        z[i] -= e[i] * z[i + 2]
     return np.ascontiguousarray(z.T)
 
 
@@ -164,27 +211,46 @@ def _envelope_iterate(
     _whittaker.pyx:213/:422).
 
     Returns (z, ww) after the loop, WITHOUT the final extra solve.
+    ``z0``/``ww0`` are taken over (mutated in place) — callers own them.
     """
     R, n = Y.shape
     p1 = 1.0 - p
-    z = z0.copy()
-    ww = np.empty_like(W) if ww0 is None else ww0.copy()
+    z = z0
+    ww = np.empty_like(W) if ww0 is None else ww0
+    # w[j]*p / w[j]*(1-p) hoisted: identical single multiplications to the
+    # reference's per-point w[j]*wa[j]
+    pW = W * p
+    p1W = W * p1
     active = np.ones(R, dtype=bool)
+    n_active = R
     for _ in range(10):
-        idx = np.where(active)[0]
-        if idx.size == 0:
+        if n_active == 0:
             break
-        Ya = Y[idx]
-        za = z[idx]
-        wa = np.where(Ya > za, p, p1)
-        wwa = W[idx] * wa
-        ww[idx] = wwa
-        znew = ws2d_batch(Ya, lam[idx], wwa)
-        delta = np.abs(znew - za).sum(axis=1)
-        conv = delta == 0.0
-        upd = idx[~conv]
-        z[upd] = znew[~conv]
-        active[idx[conv]] = False
+        if n_active == R:
+            # fast path: no fancy-index copies of the full block
+            mask = Y > z
+            np.copyto(ww, p1W)
+            np.copyto(ww, pW, where=mask)
+            znew = ws2d_batch(Y, lam, ww)
+            delta = np.abs(znew - z).sum(axis=1)
+            conv = delta == 0.0
+            nc = ~conv
+            z[nc] = znew[nc]
+            active = nc
+            n_active = int(nc.sum())
+        else:
+            idx = np.where(active)[0]
+            Ya = Y[idx]
+            za = z[idx]
+            wwa = np.where(Ya > za, pW[idx], p1W[idx])
+            ww[idx] = wwa
+            znew = ws2d_batch(Ya, lam[idx], wwa)
+            delta = np.abs(znew - za).sum(axis=1)
+            conv = delta == 0.0
+            upd = idx[~conv]
+            z[upd] = znew[~conv]
+            active[idx[conv]] = False
+            n_active = int(active.sum())
     return z, ww
 
 

@@ -153,6 +153,41 @@ def tinterpolate_block(
     return out
 
 
+def tinterpolate_multi(
+    Z: np.ndarray,
+    covered: np.ndarray,
+    n_tok: int,
+    stres_list: tuple[int, ...],
+    nodata: float = NODATA,
+    nupdate: int = 0,
+) -> dict[int, np.ndarray]:
+    """Shared-daily-curve interpolation for several target grids.
+
+    The expensive lambda=1e-4 daily smooth depends only on the raw date
+    axis, NOT on the target resolution (the reference also samples every
+    target grid from the same daily curve, smooth.py:549-557) — compute it
+    once, gather per grid.
+    """
+    grids = {s: grid_for_length(n_tok, s) for s in stres_list}
+    R, k = Z.shape
+    idx = np.where(covered)[0]
+    sm = None
+    if idx.size and grids:
+        g0 = next(iter(grids.values()))
+        daily = np.full((idx.size, g0.n_daily), float(nodata))
+        daily[:, g0.scatter_ix[-k:]] = Z[idx]
+        Wd = (daily != nodata).astype(np.float64)
+        sm = K.ws2d_batch(daily, TINTERPOLATE_LAMBDA, Wd)
+    out = {}
+    for s, g in grids.items():
+        tix = g.target_ix if nupdate == 0 else g.target_ix[-nupdate:]
+        o = np.full((R, tix.size), float(nodata))
+        if sm is not None:
+            o[idx] = sm[:, tix]
+        out[s] = o
+    return out
+
+
 @dataclass
 class LengthGroupResult:
     smoothed: np.ndarray          # (R, n) int32 — rint'd, raw passthrough if gated
@@ -184,9 +219,10 @@ def process_length_group(
         sopt_log10=sopt.astype(np.float32),
         covered=covered,
     )
-    for stres in cfg.tempint:
-        grid = grid_for_length(n_tok, stres)
-        vals = tinterpolate_block(Z, covered, grid, cfg.nodata, cfg.nupdate)
-        res.interp[stres] = np.rint(vals).astype(np.int32)
-        res.target_lengths[stres] = vals.shape[1]
+    if cfg.tempint:
+        multi = tinterpolate_multi(Z, covered, n_tok, tuple(cfg.tempint),
+                                   cfg.nodata, cfg.nupdate)
+        for stres, vals in multi.items():
+            res.interp[stres] = np.rint(vals).astype(np.int32)
+            res.target_lengths[stres] = vals.shape[1]
     return res

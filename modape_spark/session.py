@@ -13,11 +13,11 @@ from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "stop_spark"]
 
-# One Arrow batch ≈ one kernel block: 2048 rows x 742 pts x 8 B ≈ 12 MiB,
-# small enough that the V-curve working set (~6 temporaries) stays < 100 MiB
-# per task, large enough to amortize the per-batch grid lookup.  The
+# One Arrow batch ≈ one kernel block.  Measured sweet spot on the solver:
+# 1024 rows x 742 pts keeps the 6-array solver working set (~36 MiB) inside
+# shared cache — 296 rows/s/core vs 133 at 2048 (cache cliff).  The
 # reference's analogue is its HDF5 chunk (= npixels/25 rows, collect.py:263).
-ARROW_BATCH_ROWS = 2048
+ARROW_BATCH_ROWS = 1024
 
 
 def get_spark(
