@@ -184,13 +184,8 @@ def ws2d_batch(Y: np.ndarray, lam, W: np.ndarray,
     d[m] = Wt[m] + lam - (c[m - 1] * c[m - 1]) * d[m - 1] - (e[m - 2] * e[m - 2]) * d[m - 2]
     z[m] = (z[m] - c[m - 1] * z[m - 1] - e[m - 2] * z[m - 2]) / d[m]
     z[m - 1] = z[m - 1] / d[m - 1] - c[m - 1] * z[m]
-    # z[i]/d[i] hoisted to one full-matrix divide — the same elementwise
-    # division the reference performs inside the back-substitution loop
-    # (its z[i] is final after the forward pass), so rounding is identical
-    np.divide(z[: m - 1], d[: m - 1], out=z[: m - 1])
     for i in range(m - 2, -1, -1):
-        z[i] -= c[i] * z[i + 1]
-        z[i] -= e[i] * z[i + 2]
+        z[i] = z[i] / d[i] - c[i] * z[i + 1] - e[i] * z[i + 2]
     return np.ascontiguousarray(z.T)
 
 
