@@ -96,11 +96,10 @@ def gen_tokens_block(ids: np.ndarray, n: int) -> np.ndarray:
     phase = _u01(ids, 5) * 46.0                      # per-row phase
     gap_rate = _u01(ids, 6) * 0.95                   # per-row gap rate [0,0.95)
     k = np.arange(n, dtype=np.float64)
-    # hash noise ~ N(0, 400): Box-Muller from two hash streams
+    # hash noise, sd ~= 400 (uniform; one hash stream — generation sits on
+    # the same hot path as the kernel, so it stays cheap)
     u1 = _u01(ids[:, None], 7, np.arange(n)[None, :] + 1)
-    u2 = _u01(ids[:, None], 8, np.arange(n)[None, :] + 1)
-    u1 = np.maximum(u1, 1e-12)
-    noise = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2) * 400.0
+    noise = (u1 - 0.5) * 1386.0
     vals = mean[:, None] + amp[:, None] * np.sin(
         2 * np.pi * (k[None, :] + phase[:, None]) / 46.0
     ) + noise

@@ -263,20 +263,38 @@ def ws2dp_batch(Y: np.ndarray, lam, W: np.ndarray, p: float) -> np.ndarray:
 
 
 def _vcurve(
-    fits: np.ndarray, pens: np.ndarray, llas: np.ndarray
+    fits: np.ndarray, pens: np.ndarray, llas: np.ndarray,
+    valid: np.ndarray | None = None,
 ) -> np.ndarray:
     """Pick per-row optimal lambda from fit/penalty curves.
 
     _whittaker.pyx:270-293: v_i = sqrt(dfit^2 + dpen^2) / (ln10 * step) at
     grid midpoints; first argmin wins; lopt = 10^midpoint.
+
+    ``llas`` may be a shared (nl,) grid or a per-row (R, nl) matrix (merged
+    adaptive grids); ``valid`` gives per-row valid grid lengths — midpoints
+    at or beyond valid-1 are excluded from the argmin (they belong to pad
+    entries appended purely so differently-sized grids batch together).
     """
-    llastep = llas[1] - llas[0]
+    if llas.ndim == 1:
+        llastep = llas[1] - llas[0]
+        lamids = (llas[:-1] + llas[1:]) / 2
+        dfit = np.diff(fits, axis=1)
+        dpen = np.diff(pens, axis=1)
+        v = np.sqrt(dfit * dfit + dpen * dpen) / (np.log(10) * llastep)
+        k = np.argmin(v, axis=1)  # first occurrence of the minimum
+        return np.power(10.0, lamids[k])
+    llastep = llas[:, 1] - llas[:, 0]
+    lamids = (llas[:, :-1] + llas[:, 1:]) / 2
     dfit = np.diff(fits, axis=1)
     dpen = np.diff(pens, axis=1)
-    v = np.sqrt(dfit * dfit + dpen * dpen) / (np.log(10) * llastep)
-    lamids = (llas[:-1] + llas[1:]) / 2
-    k = np.argmin(v, axis=1)  # first occurrence of the minimum, as reference
-    return np.power(10.0, lamids[k])
+    v = np.sqrt(dfit * dfit + dpen * dpen) / (np.log(10) * llastep)[:, None]
+    if valid is not None:
+        cols = np.arange(v.shape[1])[None, :]
+        v = np.where(cols >= (valid[:, None] - 1), np.inf, v)
+    k = np.argmin(v, axis=1)
+    rows = np.arange(v.shape[0])
+    return np.power(10.0, lamids[rows, k])
 
 
 def _fit_pen(Y, W, Z):
@@ -291,12 +309,15 @@ def _fit_pen(Y, W, Z):
 
 
 def ws2doptv_batch(
-    Y: np.ndarray, W: np.ndarray, llas: np.ndarray
+    Y: np.ndarray, W: np.ndarray, llas: np.ndarray,
+    valid: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched V-curve lambda optimization (_whittaker.pyx:216-293).
 
-    All rows share one lambda grid ``llas`` (callers sub-batch rows by their
-    adaptive grid, smooth.py:406-415).
+    ``llas``: shared (nl,) grid, or per-row (R, nl) matrix with ``valid``
+    per-row grid lengths (grids padded by repeating their last value — pad
+    solves are wasted work but keep ALL rows in one vectorized batch, which
+    beats splitting the batch three ways by adaptive range).
 
     Returns (Z, lopt): smoothed block and per-row optimized lambda (linear,
     not log10).
@@ -305,20 +326,22 @@ def ws2doptv_batch(
     W = np.ascontiguousarray(W, dtype=np.float64)
     llas = np.asarray(llas, dtype=np.float64)
     R, n = Y.shape
-    nl = llas.size
+    per_row = llas.ndim == 2
+    nl = llas.shape[-1]
     fits = np.empty((R, nl))
     pens = np.empty((R, nl))
     for lix in range(nl):
-        lam = 10.0 ** llas[lix]
+        lam = 10.0 ** llas[:, lix] if per_row else 10.0 ** llas[lix]
         Z = ws2d_batch(Y, lam, W)
         fits[:, lix], pens[:, lix] = _fit_pen(Y, W, Z)
-    lopt = _vcurve(fits, pens, llas)
+    lopt = _vcurve(fits, pens, llas, valid)
     Z = ws2d_batch(Y, lopt, W)
     return Z, lopt
 
 
 def ws2doptvp_batch(
-    Y: np.ndarray, W: np.ndarray, llas: np.ndarray, p: float
+    Y: np.ndarray, W: np.ndarray, llas: np.ndarray, p: float,
+    valid: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batched V-curve optimization with asymmetric envelope
     (_whittaker.pyx:296-423).
@@ -329,21 +352,27 @@ def ws2doptvp_batch(
       zero only once, _whittaker.pyx:326-335).
     - after picking lopt, z IS reset to zero (:397-398) and the envelope loop
       reruns at lopt, followed by one extra solve with the final ww (:422).
+    - per-row grids (llas (R, nl) + valid) are padded by REPEATING the last
+      grid value; padding comes after a row's true grid, so its recorded
+      fits/pens at valid positions are untouched, pad positions are masked
+      out of the v-curve, and the final phase restarts from z=0 — identical
+      results to running that row in its own sub-batch.
     """
     Y = np.ascontiguousarray(Y, dtype=np.float64)
     W = np.ascontiguousarray(W, dtype=np.float64)
     llas = np.asarray(llas, dtype=np.float64)
     R, n = Y.shape
-    nl = llas.size
+    per_row = llas.ndim == 2
+    nl = llas.shape[-1]
     fits = np.empty((R, nl))
     pens = np.empty((R, nl))
     z = np.zeros_like(Y)
     ww = np.empty_like(W)
     for lix in range(nl):
-        lam = np.full(R, 10.0 ** llas[lix])
+        lam = 10.0 ** llas[:, lix] if per_row else np.full(R, 10.0 ** llas[lix])
         z, ww = _envelope_iterate(Y, lam, W, p, z, ww)
         fits[:, lix], pens[:, lix] = _fit_pen(Y, W, z)
-    lopt = _vcurve(fits, pens, llas)
+    lopt = _vcurve(fits, pens, llas, valid)
     z0 = np.zeros_like(Y)
     _, ww = _envelope_iterate(Y, lopt, W, p, z0, ww)
     Z = ws2d_batch(Y, lopt, ww)

@@ -69,18 +69,18 @@ ORACLE_EXACT_DEDUP = """
 
 
 def _minhash_sql_spark() -> str:
-    sh = shingles_spark()
+    """MinHash over a pre-hashed shingle array column ``hs`` (the md5 per
+    shingle is computed ONCE, not once per permutation)."""
     els = ", ".join(
-        f"array_min(transform({sh}, s -> (({a} * ({h32_spark('s')} % {P31})) % {P31} + {b}) % {P31}))"
+        f"array_min(transform(hs, h -> (({a} * h) % {P31} + {b}) % {P31}))"
         for a, b in zip(MINHASH_A, MINHASH_B)
     )
     return f"array({els})"
 
 
 def _minhash_sql_duck() -> str:
-    sh = shingles_duck()
     els = ", ".join(
-        f"list_min(list_transform({sh}, s -> (({a} * ({h32_duck('s')} % {P31})) % {P31} + {b}) % {P31}))"
+        f"list_min(list_transform(hs, h -> (({a} * h) % {P31} + {b}) % {P31}))"
         for a, b in zip(MINHASH_A, MINHASH_B)
     )
     return f"[{els}]"
@@ -94,10 +94,13 @@ def _bands_cte(mh_expr: str, dialect: str) -> str:
             f"0L, (acc, v) -> (acc * 31 + v) % {P31})"
         )
         return f"""
-            sigs as (
-                select doc_id, {mh_expr} as mh from documents
+            hashed as (
+                select doc_id,
+                       transform({shingles_spark()}, s -> {h32_spark('s')} % {P31}) as hs
+                from documents
                 where size(split(text, ' ')) >= 3
             ),
+            sigs as (select doc_id, {mh_expr} as mh from hashed),
             bands as (
                 select doc_id, band, {fold} as band_hash
                 from sigs lateral view explode(sequence(0, {N_BANDS - 1})) t as band
@@ -108,10 +111,13 @@ def _bands_cte(mh_expr: str, dialect: str) -> str:
         f"band * {BAND_ROWS} + {BAND_ROWS}]), (acc, v) -> (acc * 31 + v) % {P31})"
     )
     return f"""
-        sigs as (
-            select doc_id, {mh_expr} as mh from documents
+        hashed as (
+            select doc_id,
+                   list_transform({shingles_duck()}, s -> {h32_duck('s')} % {P31}) as hs
+            from documents
             where len(string_split(text, ' ')) >= 3
         ),
+        sigs as (select doc_id, {mh_expr} as mh from hashed),
         bands as (
             select doc_id, band, {fold} as band_hash
             from sigs, (select unnest(generate_series(0, {N_BANDS - 1})) as band)

