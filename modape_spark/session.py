@@ -47,6 +47,12 @@ def get_spark(
     cores = int(cores)
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    extra_conf = dict(extra_conf or {})
+    # beyond ~16 concurrent numpy workers this host's memory system thrashes
+    # (BENCH/BASELINE.md): widen task slots so at most ~16 heavy tasks run,
+    # while partition counts stay free for fine-grained scheduling
+    if cores >= 24:
+        extra_conf.setdefault("spark.task.cpus", "2")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -65,7 +71,7 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
