@@ -33,7 +33,31 @@ __all__ = [
     "validate_append",
     "append_suffixes",
     "incremental_rollup",
+    "interleave_sources",
+    "watermarks",
 ]
+
+
+def interleave_sources(df_a: DataFrame, df_b: DataFrame,
+                       min_offset: int = 0) -> DataFrame:
+    """J2: interleave two batch streams into one series, as the reference
+    merges MOD+MYD 16-day satellites into one 8-day MXD series
+    (collect.py:159-189): union + epoch cut (positions before ``min_offset``
+    dropped — the Aqua-epoch filter) + J3 latest-timestamp dedup per
+    (doc_id, start_offset)."""
+    merged = df_a.unionByName(df_b).filter(F.col("start_offset") >= min_offset)
+    return dedup_batches(merged)
+
+
+def watermarks(raw_df: DataFrame) -> DataFrame:
+    """W4 last_collected analogue: the resume/idempotency watermark per
+    source — max stored position + row count (smooth.py:522-546 reads the
+    trailing date; ours is positional)."""
+    return raw_df.groupBy("source").agg(
+        F.max("n_tok").alias("max_position"),
+        F.min("n_tok").alias("min_position"),
+        F.count("*").alias("n_docs"),
+    )
 
 
 class LateDataError(ValueError):

@@ -181,6 +181,18 @@ def tier_view(spark: SparkSession, combined_dir: str, tier: str) -> DataFrame:
     return spark.read.parquet(combined_dir).select(*cols, "bucket")
 
 
+def export_tier_slice(spark: SparkSession, combined_dir: str, tier: str,
+                      position: int) -> DataFrame:
+    """S9 per-date export: one time index across all keys
+    (window.py:291-393 _get_raster analogue).  Column-pruned scan + a
+    single element_at — no UDF, no shuffle."""
+    col = tier if tier in ("dekad", "pentad") else "smoothed"
+    return (
+        spark.read.parquet(combined_dir)
+        .select("doc_id", "source", F.element_at(col, int(position)).alias("value"))
+    )
+
+
 def write_tier_tables(
     spark: SparkSession, combined_dir: str, base_dir: str,
     tiers: tuple[str, ...] = ("smoothed", "dekad", "pentad"),

@@ -146,3 +146,31 @@ def test_full_incremental_cycle_equals_windowed_recompute(spark):
         # spliced last point equals the fresh window's last point
         assert got[doc_id][-1] == ref_tail[doc_id][-1]
         assert len(got[doc_id]) == 16
+
+
+def test_interleave_sources(spark):
+    from modape_spark.incremental import interleave_sources
+
+    a = spark.createDataFrame(
+        [("d1", "modA", 1, [1, 2], 10), ("d1", "modA", 1, [0], 5)],
+        "doc_id string, batch_id string, proc_ts long, "
+        "tokens_suffix array<int>, start_offset int",
+    )
+    b = spark.createDataFrame(
+        [("d1", "mydB", 5, [3, 4], 10), ("d2", "mydB", 2, [9], 12)],
+        "doc_id string, batch_id string, proc_ts long, "
+        "tokens_suffix array<int>, start_offset int",
+    )
+    out = interleave_sources(a, b, min_offset=8)  # epoch cut drops offset 5
+    rows = {(r["doc_id"], r["start_offset"]): r["batch_id"] for r in out.collect()}
+    assert rows == {("d1", 10): "mydB", ("d2", 12): "mydB"}  # latest ts wins
+
+
+def test_watermarks(spark):
+    from modape_spark.incremental import watermarks
+
+    raw = sequences_df(spark, 50)
+    wm = {r["source"]: r for r in watermarks(raw).collect()}
+    assert sum(r["n_docs"] for r in wm.values()) == 50
+    for r in wm.values():
+        assert r["max_position"] >= r["min_position"]

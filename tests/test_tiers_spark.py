@@ -135,3 +135,16 @@ def test_sgrid_state_reuse(spark):
             b = np.array(frows[doc_id]["smoothed"])
             # same lambda, same solver -> identical ints
             assert np.array_equal(a, b), doc_id
+
+
+def test_export_tier_slice(spark, tmp_path):
+    from modape_spark.tiers import export_tier_slice
+
+    out = str(tmp_path / "exp")
+    materialize_rollup(sequences_df(spark, 40, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+    sl = export_tier_slice(spark, out, "dekad", 1)
+    rows = sl.collect()
+    assert len(rows) == 40
+    assert {"doc_id", "source", "value"} == set(sl.columns)
