@@ -1,0 +1,184 @@
+"""Optional C fast path for the Whittaker solver core.
+
+The numpy batched kernel (kernels.py) dispatches ~16 numpy ops per
+time-step; at n=742 that is ~12k dispatches per solve and the kernel
+becomes dispatch/memory bound.  This module compiles a tiny C row-solver at
+first use (gcc is present in the image; nothing is installed) and loads it
+with ctypes.  The C code executes the IDENTICAL per-element operation
+sequence as kernels.ws2d_batch / _envelope_iterate — compiled with
+``-fno-fast-math -ffp-contract=off`` so every double op rounds exactly like
+numpy's — and tests/test_ckernel.py asserts bit-equality between the two
+paths.  If compilation fails for any reason the engine silently keeps the
+pure-numpy path.
+
+Row-major layout: each row's working set (y, w, d, c, e, z ~ 36 KiB at
+n=742) is L1/L2-resident, so the C path also slashes memory traffic —
+the property the multi-worker scaling depends on.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_C_SOURCE = r"""
+#include <math.h>
+#include <stdlib.h>
+
+/* Whittaker 2nd-order banded LDL^T solve for one row.
+   Identical element-op order to the engine's numpy kernel (and the
+   recurrence of the reference implementation it re-derives):
+   d/c/e forward factorization, z forward substitution, back substitution.
+   Caller provides workspace wd/wc/we of length n. */
+static void ws2d_row(const double* y, double lam, const double* w,
+                     double* z, double* wd, double* wc, double* we, long n)
+{
+    long m = n - 1, i;
+    double lam2n = -2.0 * lam, lam4n = -4.0 * lam;
+    double lam5 = 5.0 * lam, lam6 = 6.0 * lam;
+
+    for (i = 0; i < n; i++) z[i] = w[i] * y[i];
+
+    wd[0] = w[0] + lam;
+    wc[0] = lam2n / wd[0];
+    we[0] = lam / wd[0];
+    wd[1] = w[1] + lam5 - wd[0] * (wc[0] * wc[0]);
+    wc[1] = (lam4n - wd[0] * wc[0] * we[0]) / wd[1];
+    we[1] = lam / wd[1];
+    z[1] -= wc[0] * z[0];
+    for (i = 2; i < m - 1; i++) {
+        wd[i] = w[i] + lam6 - (wc[i-1] * wc[i-1]) * wd[i-1] - (we[i-2] * we[i-2]) * wd[i-2];
+        wc[i] = (lam4n - wd[i-1] * wc[i-1] * we[i-1]) / wd[i];
+        we[i] = lam / wd[i];
+        z[i] -= wc[i-1] * z[i-1];
+        z[i] -= we[i-2] * z[i-2];
+    }
+    wd[m-1] = w[m-1] + lam5 - (wc[m-2] * wc[m-2]) * wd[m-2] - (we[m-3] * we[m-3]) * wd[m-3];
+    wc[m-1] = (lam2n - wd[m-2] * wc[m-2] * we[m-2]) / wd[m-1];
+    z[m-1] -= wc[m-2] * z[m-2];
+    z[m-1] -= we[m-3] * z[m-3];
+    wd[m] = w[m] + lam - (wc[m-1] * wc[m-1]) * wd[m-1] - (we[m-2] * we[m-2]) * wd[m-2];
+    z[m] = (z[m] - wc[m-1] * z[m-1] - we[m-2] * z[m-2]) / wd[m];
+    z[m-1] = z[m-1] / wd[m-1] - wc[m-1] * z[m];
+    for (i = m - 2; i >= 0; i--)
+        z[i] = z[i] / wd[i] - wc[i] * z[i+1] - we[i] * z[i+2];
+}
+
+/* Solve R rows: Y/W/Z row-major (R x n), lam per row. */
+void ws2d_rows(const double* Y, const double* lam, const double* W,
+               double* Z, double* work, long n, long R)
+{
+    long r;
+    for (r = 0; r < R; r++) {
+        ws2d_row(Y + r * n, lam[r], W + r * n, Z + r * n,
+                 work, work + n, work + 2 * n, n);
+    }
+}
+
+/* Asymmetric-envelope loop for R rows (<=10 iterations, per-row exact
+   early exit).  z/ww updated in place; z must hold the starting curve.
+   Matches kernels._envelope_iterate semantics:
+     wa = p if y > z else 1-p; ww = w*wa; znew = solve; stop when
+     sum|znew - z| == 0 (z keeps its pre-iteration value on the stopping
+     pass, which equals znew anyway); ww retains the stopping iteration's
+     weights for the caller's final solve. */
+void envelope_rows(const double* Y, const double* lam, const double* W,
+                   double p, double* z, double* ww, double* work,
+                   long n, long R)
+{
+    double p1 = 1.0 - p;
+    long r, i, it;
+    double* znew = work + 3 * (size_t)n;
+    for (r = 0; r < R; r++) {
+        const double* y = Y + r * n;
+        const double* w = W + r * n;
+        double* zr = z + r * n;
+        double* wwr = ww + r * n;
+        for (it = 0; it < 10; it++) {
+            for (i = 0; i < n; i++)
+                wwr[i] = w[i] * (y[i] > zr[i] ? p : p1);
+            ws2d_row(y, lam[r], wwr, znew, work, work + n, work + 2 * n, n);
+            double delta = 0.0;
+            for (i = 0; i < n; i++)
+                delta += fabs(znew[i] - zr[i]);
+            if (delta == 0.0)
+                break;
+            for (i = 0; i < n; i++) zr[i] = znew[i];
+        }
+    }
+}
+"""
+
+_CFLAGS = ["-O2", "-fno-fast-math", "-ffp-contract=off", "-fPIC", "-shared"]
+
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    cache = os.path.join(tempfile.gettempdir(), "modape_spark_ckernel")
+    os.makedirs(cache, exist_ok=True)
+    tag = hashlib.sha256((_C_SOURCE + " ".join(_CFLAGS)).encode()).hexdigest()[:16]
+    so_path = os.path.join(cache, f"ws2d_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    src = os.path.join(cache, f"ws2d_{tag}.c")
+    tmp_so = so_path + f".tmp{os.getpid()}"
+    try:
+        with open(src, "w") as f:
+            f.write(_C_SOURCE)
+        subprocess.run(["gcc", *_CFLAGS, src, "-o", tmp_so, "-lm"],
+                       check=True, capture_output=True, timeout=120)
+        os.replace(tmp_so, so_path)  # atomic: concurrent workers race safely
+        return so_path
+    except Exception:
+        return None
+
+
+def get_lib():
+    """Compile-once, load-once.  Returns None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MODAPE_SPARK_NO_CKERNEL"):
+        return None
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.ws2d_rows.argtypes = [dp, dp, dp, dp, dp, ctypes.c_long, ctypes.c_long]
+        lib.ws2d_rows.restype = None
+        lib.envelope_rows.argtypes = [dp, dp, dp, ctypes.c_double, dp, dp, dp,
+                                      ctypes.c_long, ctypes.c_long]
+        lib.envelope_rows.restype = None
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def ws2d_rows_c(Y: np.ndarray, lam: np.ndarray, W: np.ndarray,
+                Z: np.ndarray, work: np.ndarray) -> None:
+    lib = get_lib()
+    R, n = Y.shape
+    lib.ws2d_rows(_dp(Y), _dp(lam), _dp(W), _dp(Z), _dp(work), n, R)
+
+
+def envelope_rows_c(Y: np.ndarray, lam: np.ndarray, W: np.ndarray, p: float,
+                    z: np.ndarray, ww: np.ndarray, work: np.ndarray) -> None:
+    lib = get_lib()
+    R, n = Y.shape
+    lib.envelope_rows(_dp(Y), _dp(lam), _dp(W), ctypes.c_double(p),
+                      _dp(z), _dp(ww), _dp(work), n, R)

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import ckernel as _ck
+
 __all__ = [
     "lag1corr_batch",
     "ws2d_batch",
@@ -112,6 +114,18 @@ class Workspace:
 
 
 _WS_CACHE: dict[tuple[int, int], Workspace] = {}
+_SCRATCH: dict[int, np.ndarray] = {}
+
+
+def _row_scratch(n: int) -> np.ndarray:
+    """4n-double scratch for the C row solver/envelope (d, c, e, znew)."""
+    buf = _SCRATCH.get(n)
+    if buf is None:
+        if len(_SCRATCH) > 16:
+            _SCRATCH.clear()
+        buf = np.empty(4 * n)
+        _SCRATCH[n] = buf
+    return buf
 
 
 def get_workspace(n: int, R: int) -> Workspace:
@@ -148,6 +162,13 @@ def ws2d_batch(Y: np.ndarray, lam, W: np.ndarray,
     if n < 4:
         raise ValueError(f"ws2d requires series length >= 4, got {n}")
     lam = _as_lam(lam, R)
+
+    lib = _ck.get_lib()
+    if lib is not None:
+        Z = np.empty_like(Y)
+        scratch = _row_scratch(n)
+        _ck.ws2d_rows_c(Y, np.ascontiguousarray(lam), W, Z, scratch)
+        return Z
     m = n - 1
 
     ws = work if work is not None and work.shape == (n, R) else get_workspace(n, R)
@@ -212,6 +233,19 @@ def _envelope_iterate(
     p1 = 1.0 - p
     z = z0
     ww = np.empty_like(W) if ww0 is None else ww0
+    lib = _ck.get_lib()
+    if lib is not None:
+        Yc = np.ascontiguousarray(Y)
+        Wc = np.ascontiguousarray(W)
+        lamc = np.ascontiguousarray(lam, dtype=np.float64)
+        zc = z if z.flags.c_contiguous else np.ascontiguousarray(z)
+        wwc = ww if ww.flags.c_contiguous else np.ascontiguousarray(ww)
+        _ck.envelope_rows_c(Yc, lamc, Wc, p, zc, wwc, _row_scratch(n))
+        if zc is not z:
+            z[...] = zc
+        if wwc is not ww:
+            ww[...] = wwc
+        return z, ww
     # w[j]*p / w[j]*(1-p) hoisted: identical single multiplications to the
     # reference's per-point w[j]*wa[j]
     pW = W * p

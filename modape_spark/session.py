@@ -48,11 +48,9 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
     extra_conf = dict(extra_conf or {})
-    # beyond ~16 concurrent numpy workers this host's memory system thrashes
-    # (BENCH/BASELINE.md): widen task slots so at most ~16 heavy tasks run,
-    # while partition counts stay free for fine-grained scheduling
-    if cores >= 24:
-        extra_conf.setdefault("spark.task.cpus", "2")
+    # (the earlier spark.task.cpus=2 concurrency cap was removed: the C
+    # solver's row-resident working set eliminated the memory-bandwidth
+    # saturation that motivated it — BENCH/BASELINE.md)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

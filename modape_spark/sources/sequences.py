@@ -55,14 +55,9 @@ def sequences_df(
         # — beyond ~16 concurrent numpy workers this host's memory system
         # saturates (measured: 16 procs 2553 rows/s, 32 procs 1377).
         cores = spark.sparkContext.defaultParallelism
-        # concurrency is capped by task slots (session.py spark.task.cpus);
-        # 3 task waves per slot keep the straggler tail ~1/3 of one task
-        try:
-            task_cpus = int(spark.conf.get("spark.task.cpus", "1"))
-        except Exception:
-            task_cpus = 1
-        slots = max(cores // task_cpus, 1)
-        partitions = max(1, min(3 * slots, max(n_rows // 1024, 1)))
+        # ~3 task waves per core slot keep the straggler tail short while
+        # tasks stay >= ~1024 rows (full Arrow batches for the solver)
+        partitions = max(1, min(3 * cores, max(n_rows // 1024, 1)))
     rng = spark.range(start, start + n_rows, 1, partitions)
     return rng.mapInPandas(_gen_partition, SEQUENCES_SCHEMA)
 
