@@ -64,12 +64,21 @@ def main() -> None:
                                      n_buckets=max(cpus, 8)))
     headline_sec = timings["tier_all_materialize"]
 
-    timed("tier_fixed_lambda",
-          lambda: q_tier_fixed_lambda(spark, sf_dir).write.mode("overwrite")
-          .parquet(f"{tmp}/fixed"))
-    timed("incremental_forward",
-          lambda: q_incremental_forward(spark, sf_dir).write.mode("overwrite")
-          .parquet(f"{tmp}/incr"))
+    # secondary tier queries run on a quarter-size slice (breadth checks;
+    # the headline already covers the full SF) — reported as *_q25
+    import modape_spark.entry_queries as EQ
+    q_rows = max(n_rows // 4, 64)
+    saved = EQ.n_rows_for_sf
+    EQ.n_rows_for_sf = lambda sf: q_rows  # type: ignore[assignment]
+    try:
+        timed("tier_fixed_lambda_q25",
+              lambda: q_tier_fixed_lambda(spark, sf_dir).write.mode("overwrite")
+              .parquet(f"{tmp}/fixed"))
+        timed("incremental_forward_q25",
+              lambda: q_incremental_forward(spark, sf_dir).write.mode("overwrite")
+              .parquet(f"{tmp}/incr"))
+    finally:
+        EQ.n_rows_for_sf = saved
     timed("docs_minhash_lsh", lambda: q_minhash_lsh(spark, sf_dir).count())
     timed("emb_knn_brute", lambda: q_knn_brute(spark, sf_dir).count())
     timed("events_sessionize", lambda: q_sessionize(spark, sf_dir).count())

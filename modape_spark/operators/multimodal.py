@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import register_views, table
+from .common import table
 
 META_SCHEMA = (
     "doc_id long, n_bytes int, header_hash long, width int, height int, n_frames int"
