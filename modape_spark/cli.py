@@ -1,0 +1,159 @@
+"""Command-line surface mirroring the reference's scripts
+(/root/reference/modape/scripts/: modis_collect, modis_smooth,
+modis_window, modis_info, csv_smooth) — a reference user's workflows map
+1:1 onto these subcommands, executed on Spark:
+
+    python -m modape_spark collect --n-rows 10000 --out /data/raw
+    python -m modape_spark smooth  --raw /data/raw --out /data/tiers \
+        [--svalue 1.0 | --soptimize] [--pvalue 0.9] [--tempint 10 5] \
+        [--nsmooth 16 --nupdate 1] [--lineage /data/lineage]
+    python -m modape_spark window  --tiers /data/tiers --tier dekad \
+        --position 5 --out /data/export
+    python -m modape_spark info    --tiers /data/tiers
+    python -m modape_spark csv     --input in.csv --output out.csv --svalue 1
+
+Designed for ``spark-submit --py-files modape_spark.zip`` (north_star
+deployment shape): everything importable, no module-level Spark state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name=f"modape-{args.cmd}", cores=args.cores)
+
+
+def cmd_collect(args) -> int:
+    """modis_collect analogue: materialize/append the raw sequences table."""
+    from .sources.sequences import sequences_df
+
+    spark = _spark(args)
+    df = sequences_df(spark, args.n_rows)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": args.n_rows, "out": args.out}))
+    return 0
+
+
+def cmd_smooth(args) -> int:
+    """modis_smooth analogue: materialize all retention tiers."""
+    from .rollup import SmoothConfig
+    from .lineage import run_with_checkpoints
+    from .tiers import materialize_rollup
+
+    spark = _spark(args)
+    raw = spark.read.parquet(args.raw)
+    cfg = SmoothConfig(
+        soptimize=args.soptimize or args.svalue is None,
+        svalue=args.svalue,
+        p=args.pvalue,
+        tempint=tuple(args.tempint),
+        nsmooth=args.nsmooth,
+        nupdate=args.nupdate,
+    )
+    if args.lineage:
+        metrics = run_with_checkpoints(spark, raw, args.out, args.lineage,
+                                       cfg, n_buckets=args.buckets)
+    else:
+        materialize_rollup(raw, args.out, cfg, n_buckets=args.buckets)
+        metrics = {"processed_buckets": args.buckets}
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_window(args) -> int:
+    """modis_window analogue: per-position export of one tier."""
+    from .tiers import export_tier_slice
+
+    spark = _spark(args)
+    sl = export_tier_slice(spark, args.tiers, args.tier, args.position)
+    sl.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"tier": args.tier, "position": args.position,
+                      "rows": sl.count(), "out": args.out}))
+    return 0
+
+
+def cmd_info(args) -> int:
+    """modis_info analogue: table shape + per-bucket lineage metrics."""
+    from pyspark.sql import functions as F
+
+    from .lineage import bucket_lineage
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.tiers)
+    summary = {
+        "rows": df.count(),
+        "columns": df.columns,
+        "covered_rows": df.filter(F.col("covered")).count() if "covered" in df.columns else None,
+    }
+    if "bucket" in df.columns and "smoothed" in df.columns:
+        summary["buckets"] = bucket_lineage(df).count()
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_csv(args) -> int:
+    """csv_smooth analogue (local, no Spark)."""
+    from .sources.csv_series import smooth_csv
+
+    out = smooth_csv(args.input, args.output, svalue=args.svalue,
+                     nodata=args.nodata)
+    print(json.dumps({"series": len(out.columns) - 1, "out": args.output}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="modape_spark")
+    p.add_argument("--cores", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("collect")
+    c.add_argument("--n-rows", type=int, required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_collect)
+
+    s = sub.add_parser("smooth")
+    s.add_argument("--raw", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--svalue", type=float, default=None)
+    s.add_argument("--soptimize", action="store_true")
+    s.add_argument("--pvalue", type=float, default=None)
+    s.add_argument("--tempint", type=int, nargs="*", default=[10, 5])
+    s.add_argument("--nsmooth", type=int, default=0)
+    s.add_argument("--nupdate", type=int, default=0)
+    s.add_argument("--buckets", type=int, default=32)
+    s.add_argument("--lineage", default=None)
+    s.set_defaults(fn=cmd_smooth)
+
+    w = sub.add_parser("window")
+    w.add_argument("--tiers", required=True)
+    w.add_argument("--tier", default="dekad")
+    w.add_argument("--position", type=int, required=True)
+    w.add_argument("--out", required=True)
+    w.set_defaults(fn=cmd_window)
+
+    i = sub.add_parser("info")
+    i.add_argument("--tiers", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    v = sub.add_parser("csv")
+    v.add_argument("--input", required=True)
+    v.add_argument("--output", required=True)
+    v.add_argument("--svalue", type=float, default=None)
+    v.add_argument("--nodata", type=float, default=0.0)
+    v.set_defaults(fn=cmd_csv)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""CLI surface (mirrors the reference's modis_* scripts, SURVEY §3)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*argv):
+    out = subprocess.run(
+        [sys.executable, "-m", "modape_spark", "--cores", "4", *argv],
+        cwd=REPO, capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_cli_collect_smooth_window_info(tmp_path):
+    raw = str(tmp_path / "raw")
+    tiers = str(tmp_path / "tiers")
+    export = str(tmp_path / "exp")
+
+    r = run_cli("collect", "--n-rows", "80", "--out", raw)
+    assert r["rows"] == 80
+
+    r = run_cli("smooth", "--raw", raw, "--out", tiers,
+                "--svalue", "1.0", "--tempint", "10", "--buckets", "4")
+    assert r["processed_buckets"] == 4
+
+    r = run_cli("window", "--tiers", tiers, "--tier", "dekad",
+                "--position", "1", "--out", export)
+    assert r["rows"] == 80
+
+    r = run_cli("info", "--tiers", tiers)
+    assert r["rows"] == 80
+    assert "covered_rows" in r
+
+
+def test_cli_csv(tmp_path):
+    t = np.arange(50)
+    pd.DataFrame({"a": 10 + np.sin(t / 4.0)}).to_csv(tmp_path / "in.csv", index=False)
+    r = run_cli("csv", "--input", str(tmp_path / "in.csv"),
+                "--output", str(tmp_path / "out.csv"), "--svalue", "1")
+    assert r["series"] == 1
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles(tmp_path):
+    """north_star deployment shape: spark-submit --py-files."""
+    zip_out = subprocess.run(
+        [sys.executable, "scripts/make_pyfiles.py"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert zip_out.endswith("modape_spark.zip")
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+         "--py-files", zip_out,
+         "scripts/run_rollup.py", "--n-rows", "64",
+         "--out", str(tmp_path / "tiers"), "--buckets", "4"],
+        cwd=REPO, capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 64
