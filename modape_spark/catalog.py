@@ -1,0 +1,106 @@
+"""Thin table catalog: Iceberg when available, parquet-directory fallback.
+
+SURVEY §1 maps the reference's HDF5 datacubes onto Iceberg tables; this
+sandbox image ships no Iceberg runtime jar, so the catalog detects the
+Iceberg SparkCatalog at runtime and otherwise provides the same contract on
+parquet directories:
+
+- ``upsert``: MERGE INTO on Iceberg; on parquet, an idempotent
+  copy-on-write rewrite of the affected bucket partitions (the same
+  granularity Iceberg's copy-on-write MERGE rewrites).
+- ``append``: plain append either way.
+- bucket layout (pmod(xxhash64(doc_id), N)) is the partition spec in both
+  backends, so state joins stay co-located and resume pruning works
+  unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tiers import with_bucket
+
+__all__ = ["TableCatalog"]
+
+
+class TableCatalog:
+    def __init__(self, spark: SparkSession, base: str, n_buckets: int = 32):
+        self.spark = spark
+        self.base = base.rstrip("/")
+        self.n_buckets = n_buckets
+        self.iceberg_catalog = self._detect_iceberg()
+
+    def _detect_iceberg(self) -> str | None:
+        """Name of a configured Iceberg catalog, or None."""
+        try:
+            confs = self.spark.sparkContext.getConf().getAll()
+        except Exception:
+            return None
+        for k, v in confs:
+            if k.startswith("spark.sql.catalog.") and "iceberg" in v.lower():
+                return k.split(".", 3)[3]
+        return None
+
+    # -- identity ---------------------------------------------------------
+    def path(self, name: str) -> str:
+        if self.iceberg_catalog:
+            return f"{self.iceberg_catalog}.modape.{name}"
+        return f"{self.base}/{name}"
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return self.spark.read.format("iceberg").load(self.path(name))
+        return self.spark.read.parquet(self.path(name))
+
+    # -- writes -----------------------------------------------------------
+    def create(self, name: str, df: DataFrame) -> None:
+        df = with_bucket(df, self.n_buckets)
+        if self.iceberg_catalog:
+            df.writeTo(self.path(name)).partitionedBy(F.col("bucket")) \
+                .createOrReplace()
+        else:
+            df.repartition(self.n_buckets, F.col("bucket")) \
+                .write.mode("overwrite").partitionBy("bucket") \
+                .parquet(self.path(name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df = with_bucket(df, self.n_buckets)
+        if self.iceberg_catalog:
+            df.writeTo(self.path(name)).append()
+        else:
+            df.repartition(self.n_buckets, F.col("bucket")) \
+                .write.mode("append").partitionBy("bucket") \
+                .parquet(self.path(name))
+
+    def upsert(self, name: str, updates: DataFrame, key: str = "doc_id") -> None:
+        """MERGE INTO semantics: rows matching on ``key`` are replaced,
+        new rows inserted.
+
+        Iceberg: a real MERGE INTO.  Parquet: copy-on-write rewrite of only
+        the bucket partitions that contain updates (dynamic partition
+        overwrite), exactly the file-granularity Iceberg's CoW MERGE would
+        rewrite.
+        """
+        updates = with_bucket(updates, self.n_buckets)
+        if self.iceberg_catalog:
+            updates.createOrReplaceTempView("_modape_updates")
+            cols = ", ".join(f"{c} = s.{c}" for c in updates.columns if c != key)
+            self.spark.sql(f"""
+                MERGE INTO {self.path(name)} t
+                USING _modape_updates s ON t.{key} = s.{key}
+                WHEN MATCHED THEN UPDATE SET {cols}
+                WHEN NOT MATCHED THEN INSERT *
+            """)
+            return
+        target = self.read(name)
+        touched = [r["bucket"] for r in
+                   updates.select("bucket").distinct().collect()]
+        existing = target.filter(F.col("bucket").isin(touched))
+        keep = existing.join(updates.select(key), key, "left_anti")
+        merged = keep.unionByName(updates.select(keep.columns))
+        # dynamic partitionOverwriteMode (session.py): only touched buckets
+        # are replaced
+        merged.repartition(len(touched), F.col("bucket")) \
+            .write.mode("overwrite").partitionBy("bucket") \
+            .parquet(self.path(name))

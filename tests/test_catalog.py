@@ -1,0 +1,55 @@
+"""TableCatalog contract on the parquet backend (Iceberg path exercises the
+same API when a catalog jar is configured)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modape_spark.catalog import TableCatalog
+from modape_spark.sources.sequences import sequences_df
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path), n_buckets=4)
+    assert cat.iceberg_catalog is None  # sandbox: parquet fallback
+    cat.create("raw", sequences_df(spark, 50))
+    got = cat.read("raw")
+    assert got.count() == 50
+    assert "bucket" in got.columns
+
+
+def test_append(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path), n_buckets=4)
+    cat.create("raw", sequences_df(spark, 30))
+    cat.append("raw", sequences_df(spark, 20, start=1000))
+    assert cat.read("raw").count() == 50
+
+
+def test_upsert_replaces_and_inserts(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path), n_buckets=4)
+    base = sequences_df(spark, 40)
+    cat.create("raw", base)
+
+    updates = sequences_df(spark, 10, start=20).withColumn(
+        "source", F.lit("UPDATED")
+    )  # ids 20..29 exist; plus 10 brand-new ids
+    news = sequences_df(spark, 5, start=5000).withColumn("source", F.lit("NEW"))
+    cat.upsert("raw", updates.unionByName(news))
+
+    got = cat.read("raw")
+    assert got.count() == 45  # 40 existing + 5 new, 10 replaced in place
+    assert got.filter("source = 'UPDATED'").count() == 10
+    assert got.filter("source = 'NEW'").count() == 5
+    # untouched rows intact
+    assert got.filter("source not in ('UPDATED','NEW')").count() == 30
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path), n_buckets=4)
+    cat.create("raw", sequences_df(spark, 25))
+    up = sequences_df(spark, 5, start=10).withColumn("source", F.lit("X"))
+    cat.upsert("raw", up)
+    cat.upsert("raw", up)  # re-run: same end state
+    got = cat.read("raw")
+    assert got.count() == 25
+    assert got.filter("source = 'X'").count() == 5
