@@ -26,7 +26,16 @@ BAND_ROWS = 4
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver tables as temp views with the same names the
-    driver's DuckDB oracle uses, so query text is portable."""
+    driver's DuckDB oracle uses, so query text is portable.
+
+    Pins the session timezone to UTC: the oracle (DuckDB) treats parquet
+    timestamps as naive, so Spark must too regardless of the caller's
+    session defaults.
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
