@@ -184,8 +184,13 @@ def tinterpolate_multi(
     if idx.size and grids:
         g0 = next(iter(grids.values()))
         daily = np.full((idx.size, g0.n_daily), float(nodata))
-        daily[:, g0.scatter_ix[-k:]] = Z[idx]
-        Wd = (daily != nodata).astype(np.float64)
+        Zc = Z[idx]
+        daily[:, g0.scatter_ix[-k:]] = Zc
+        # weights = (daily != nodata): off-scatter positions are nodata by
+        # construction, so only scatter columns can be nonzero — build them
+        # directly instead of comparing the full (R, n_daily) matrix
+        Wd = np.zeros_like(daily)
+        Wd[:, g0.scatter_ix[-k:]] = (Zc != nodata).astype(np.float64)
         sm = K.ws2d_batch(daily, TINTERPOLATE_LAMBDA, Wd)
     out = {}
     for s, g in grids.items():
