@@ -152,8 +152,36 @@ def q_incremental_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule resumability, driver-visible: run a checkpointed
+    materialization twice on identical input; the rerun must skip every
+    bucket via lineage fingerprints.  Returns one row of counters."""
+    import shutil
+    import tempfile
+
+    from .lineage import run_with_checkpoints
+
+    raw = sequences_df(spark, min(n_rows_for_sf(sf_of(sf_dir)), 2000))
+    tmp = tempfile.mkdtemp(prefix="modape_resume_")
+    try:
+        m1 = run_with_checkpoints(spark, raw, f"{tmp}/t", f"{tmp}/lin",
+                                  CFG_FIXED, n_buckets=8, n_groups=2)
+        m2 = run_with_checkpoints(spark, raw, f"{tmp}/t", f"{tmp}/lin",
+                                  CFG_FIXED, n_buckets=8, n_groups=2)
+        rows_out = spark.read.parquet(f"{tmp}/t").count()
+        return spark.createDataFrame(
+            [(m1["processed_buckets"], m2["processed_buckets"],
+              m2["skipped_buckets"], rows_out)],
+            "first_run_buckets int, rerun_processed int, "
+            "rerun_skipped int, rows long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "tier_smoothed_optvp": q_tier_smoothed,
+    "lineage_resume": q_lineage_resume,
     "tier_dekad": q_tier_dekad,
     "tier_pentad": q_tier_pentad,
     "tier_fixed_lambda": q_tier_fixed_lambda,

@@ -203,6 +203,30 @@ def q_grid_dekad_pentad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_grid_sql("spark"))
 
 
+def _tumbling_sql(dialect: str) -> str:
+    """ST6-adjacent: fixed 6-hour tumbling windows over events (the
+    calendar dekad/pentad tiers use grids.py; THIS is the uniform-window
+    flavour Spark's F.window covers)."""
+    if dialect == "spark":
+        bucket = "window(ts, '6 hours').start"
+    else:
+        bucket = "time_bucket(interval 6 hours, ts)"
+    return f"""
+        select event_type,
+               cast({bucket} as timestamp) as win_start,
+               count(*) as n,
+               round(sum(value), 2) as sum_value
+        from events
+        group by event_type, win_start
+        order by event_type, win_start
+    """
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_tumbling_sql("spark"))
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style rollup — whole-table metric aggregation (A6)."""
     register_views(spark, sf_dir)
@@ -280,6 +304,7 @@ QUERIES = {
     "events_completeness": q_completeness,
     "events_sessionize": q_sessionize,
     "grid_dekad_pentad": q_grid_dekad_pentad,
+    "events_tumbling_window": q_tumbling_window,
     "tpch_pricing_summary": q_pricing_summary,
     "tpch_top_suppliers": q_top_suppliers,
 }
@@ -290,6 +315,7 @@ ORACLES = {
     "events_completeness": ORACLE_COMPLETENESS,
     "events_sessionize": ORACLE_SESSIONIZE,
     "grid_dekad_pentad": _grid_sql("duck"),
+    "events_tumbling_window": _tumbling_sql("duck"),
     "tpch_pricing_summary": ORACLE_PRICING,
     "tpch_top_suppliers": ORACLE_TOP_SUPPLIERS,
 }

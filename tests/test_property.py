@@ -44,7 +44,9 @@ def test_ws2d_matches_scalar_any_series(n, seed, loglam):
     lam = 10.0 ** loglam
     z = K.ws2d_batch(y[None, :], lam, w[None, :])[0]
     zs = ref.ws2d(y, lam, w)
-    assert np.allclose(z, zs, rtol=0, atol=1e-7) or np.array_equal(z, zs)
+    # equal_nan: a fully-unweighted short series is singular -> NaN in BOTH
+    # paths (consistent with the reference's cdivision semantics)
+    assert np.allclose(z, zs, rtol=0, atol=1e-7, equal_nan=True)
 
 
 @given(st.integers(min_value=6, max_value=60), st.integers(min_value=0, max_value=2**31))
