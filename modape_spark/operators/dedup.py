@@ -93,14 +93,27 @@ def _bands_cte(mh_expr: str, dialect: str) -> str:
             f"aggregate(slice(mh, band * {BAND_ROWS} + 1, {BAND_ROWS}), "
             f"0L, (acc, v) -> (acc * 31 + v) % {P31})"
         )
+        # one exploded pass + 16 codegen'd min-aggregates (higher-order
+        # functions are interpreted in Spark; a groupBy-min over the
+        # exploded shingle hashes stays in whole-stage codegen and scans
+        # the shingles ONCE for all permutations)
+        mins = ", ".join(
+            f"min((({a} * h) % {P31} + {b}) % {P31}) as m{j}"
+            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        )
+        arr = ", ".join(f"m{j}" for j in range(N_MINHASH))
         return f"""
-            hashed as (
-                select doc_id,
-                       transform({shingles_spark()}, s -> {h32_spark('s')} % {P31}) as hs
-                from documents
-                where size(split(text, ' ')) >= 3
+            exploded as (
+                select doc_id, s.h as h
+                from (
+                    select doc_id,
+                           transform({shingles_spark()}, s -> {h32_spark('s')} % {P31}) as hs
+                    from documents
+                    where size(split(text, ' ')) >= 3
+                ) lateral view explode(hs) s as h
             ),
-            sigs as (select doc_id, {mh_expr} as mh from hashed),
+            mins as (select doc_id, {mins} from exploded group by doc_id),
+            sigs as (select doc_id, array({arr}) as mh from mins),
             bands as (
                 select doc_id, band, {fold} as band_hash
                 from sigs lateral view explode(sequence(0, {N_BANDS - 1})) t as band
