@@ -202,6 +202,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_sql("spark"))
 
 
+_SIMHASH_HAMMING_MAX = 3
+
+
+def _simhash_pairs_sql(dialect: str) -> str:
+    """Near-duplicate pairs by SimHash hamming distance <= 3 (bit_count of
+    the XOR — both engines provide bit_count natively)."""
+    inner = _simhash_sql(dialect).replace("order by doc_id", "")
+    if dialect == "spark":
+        ham = "bit_count(a.simhash16 ^ b.simhash16)"
+    else:
+        ham = "bit_count(cast(xor(a.simhash16, b.simhash16) as bigint))"
+    return f"""
+        with sh16 as ({inner})
+        select a.doc_id as doc_a, b.doc_id as doc_b,
+               {ham} as hamming
+        from sh16 a join sh16 b on a.doc_id < b.doc_id
+        where {ham} <= {_SIMHASH_HAMMING_MAX}
+        order by doc_a, doc_b
+    """
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_simhash_pairs_sql("spark"))
+
+
 def _jaccard_sql(dialect: str) -> str:
     # exact integer fixed-point: no float rounding-mode divergence
     div = ("c * 10000 div (ca.n + cb.n - c)" if dialect == "spark"
@@ -245,6 +271,7 @@ QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
     "docs_minhash_lsh": q_minhash_lsh,
     "docs_simhash": q_simhash,
+    "docs_simhash_pairs": q_simhash_pairs,
     "docs_ngram_jaccard": q_ngram_jaccard,
 }
 
@@ -252,5 +279,6 @@ ORACLES = {
     "docs_exact_dedup": ORACLE_EXACT_DEDUP,
     "docs_minhash_lsh": _minhash_pairs_sql("duck"),
     "docs_simhash": _simhash_sql("duck"),
+    "docs_simhash_pairs": _simhash_pairs_sql("duck"),
     "docs_ngram_jaccard": _jaccard_sql("duck"),
 }
