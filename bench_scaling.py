@@ -22,10 +22,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cores: int, n_rows: int, repeats: int = 2) -> float:
-    """Best-of-N: the sandbox host shows bursty CPU steal (20%+ under load),
-    so a single wall-clock sample can be 30% off; best-of-2 measures the
-    engine, not the hypervisor."""
+def run_sample(cores: int, n_rows: int) -> float:
+    """One fresh-session wall-clock sample of the rollup materialization."""
     from modape_spark.entry_queries import CFG_ALL
     from modape_spark.session import get_spark
     from modape_spark.sources.sequences import sequences_df
@@ -37,16 +35,28 @@ def run_once(cores: int, n_rows: int, repeats: int = 2) -> float:
     try:
         # warm-up excluded from the measured run
         sequences_df(spark, 512).count()
-        best = float("inf")
-        for r in range(repeats):
-            t0 = time.time()
-            materialize_rollup(sequences_df(spark, n_rows), f"{tmp}/out{r}",
-                               CFG_ALL, n_buckets=max(cores, 8))
-            best = min(best, time.time() - t0)
-        return best
+        t0 = time.time()
+        materialize_rollup(sequences_df(spark, n_rows), f"{tmp}/out",
+                           CFG_ALL, n_buckets=max(cores, 8))
+        return time.time() - t0
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_once(cores_low: int, cores_high: int, n_rows: int) -> tuple[float, float]:
+    """Interleaved best-of-2 per level (high, low, low, high).
+
+    The sandbox host burst-throttles: whatever runs later in a sequence
+    sees depleted CPU credits, so a fixed order systematically biases one
+    level.  Interleaving gives each level one early and one late sample;
+    best-of each measures the engine, not the hypervisor.
+    """
+    t_high = min(run_sample(cores_high, n_rows), float("inf"))
+    t_low = run_sample(cores_low, n_rows)
+    t_low = min(t_low, run_sample(cores_low, n_rows))
+    t_high = min(t_high, run_sample(cores_high, n_rows))
+    return t_low, t_high
 
 
 def main() -> None:
@@ -63,8 +73,7 @@ def main() -> None:
     sf = sf_of(args.sf_dir)
     n_rows = n_rows_for_sf(sf)
 
-    t_low = run_once(args.low, n_rows)
-    t_high = run_once(args.high, n_rows)
+    t_low, t_high = run_once(args.low, args.high, n_rows)
     thr_low = n_rows / t_low
     thr_high = n_rows / t_high
     factor = args.high / args.low
