@@ -267,8 +267,50 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_jaccard_sql("spark"))
 
 
+def _cross_check_sql(dialect: str) -> str:
+    """Cross-modal dedup verification: MinHash LSH candidate pairs
+    re-scored by embedding cosine (documents.doc_id == embeddings.vec_id in
+    the driver tables) — the standard 'cheap recall, exact verify' dedup
+    pipeline shape for training data."""
+    pairs = _minhash_pairs_sql(dialect)
+    if dialect == "spark":
+        dot = ("aggregate(zip_with(ea.embedding, eb.embedding, "
+               "(x, y) -> cast(x as double) * cast(y as double)), "
+               "cast(0.0 as double), (acc, v) -> acc + v)")
+        na = ("sqrt(aggregate(zip_with(ea.embedding, ea.embedding, "
+              "(x, y) -> cast(x as double) * cast(y as double)), "
+              "cast(0.0 as double), (acc, v) -> acc + v))")
+        nb = ("sqrt(aggregate(zip_with(eb.embedding, eb.embedding, "
+              "(x, y) -> cast(x as double) * cast(y as double)), "
+              "cast(0.0 as double), (acc, v) -> acc + v))")
+    else:
+        def d(u, v):
+            return (f"list_reduce(list_prepend(0.0, list_transform("
+                    f"generate_series(1, 64), i -> {u}.embedding[i]::double"
+                    f" * {v}.embedding[i]::double)), (acc, v) -> acc + v)")
+        dot = d("ea", "eb")
+        na = f"sqrt({d('ea', 'ea')})"
+        nb = f"sqrt({d('eb', 'eb')})"
+    return f"""
+        with cand_pairs as ({pairs})
+        select p.doc_a, p.doc_b, p.est_jaccard_e4,
+               cast(floor(({dot} / ({na} * {nb})) * 10000 + 0.5) as bigint)
+                   as emb_cosine_e4
+        from cand_pairs p
+        join embeddings ea on ea.vec_id = p.doc_a
+        join embeddings eb on eb.vec_id = p.doc_b
+        order by doc_a, doc_b
+    """
+
+
+def q_dedup_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_cross_check_sql("spark"))
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
+    "dedup_cross_check": q_dedup_cross_check,
     "docs_minhash_lsh": q_minhash_lsh,
     "docs_simhash": q_simhash,
     "docs_simhash_pairs": q_simhash_pairs,
@@ -277,6 +319,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_exact_dedup": ORACLE_EXACT_DEDUP,
+    "dedup_cross_check": _cross_check_sql("duck"),
     "docs_minhash_lsh": _minhash_pairs_sql("duck"),
     "docs_simhash": _simhash_sql("duck"),
     "docs_simhash_pairs": _simhash_pairs_sql("duck"),
