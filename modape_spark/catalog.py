@@ -99,8 +99,8 @@ class TableCatalog:
         existing = target.filter(F.col("bucket").isin(touched))
         keep = existing.join(updates.select(key), key, "left_anti")
         merged = keep.unionByName(updates.select(keep.columns))
-        # dynamic partitionOverwriteMode (session.py): only touched buckets
-        # are replaced
+        # per-write dynamic overwrite: only touched buckets are replaced
         merged.repartition(len(touched), F.col("bucket")) \
-            .write.mode("overwrite").partitionBy("bucket") \
-            .parquet(self.path(name))
+            .write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("bucket").parquet(self.path(name))

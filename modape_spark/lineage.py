@@ -71,6 +71,10 @@ def resume_plan(
     """Buckets still to process = all buckets minus those whose recorded
     input fingerprint matches the current input."""
     current = input_fingerprint(raw_df, n_buckets)
+    import os
+
+    if lineage_dir.startswith("/") and not os.path.exists(lineage_dir):
+        return list(range(n_buckets)), current  # first run, nothing recorded
     try:
         done = spark.read.parquet(lineage_dir)
     except Exception:

@@ -172,7 +172,11 @@ def materialize_rollup(
     # 3x the kernel time at SF=0.1).  The shuffle is the compact rolled
     # output, and the kernel stage pipelines into the shuffle write.
     rolled = rolled.repartition(n_buckets, F.col("bucket"))
-    rolled.write.mode(mode).partitionBy("bucket").parquet(out_dir)
+    # per-write dynamic overwrite: only the buckets present in this job are
+    # replaced (idempotent checkpointed resume) regardless of the session's
+    # partitionOverwriteMode default
+    rolled.write.mode(mode).option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("bucket").parquet(out_dir)
 
 
 def tier_view(spark: SparkSession, combined_dir: str, tier: str) -> DataFrame:
