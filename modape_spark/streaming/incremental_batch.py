@@ -39,16 +39,22 @@ def run_incremental_batch(
     Batches already recorded in ``processed_dir`` are skipped
     (idempotent re-runs; ST4 guards).
     """
+    import os
+
+    if batches_dir.startswith("/") and not os.path.exists(batches_dir):
+        return {"updated_raw": raw_df, "merged_tiers": existing_tiers or {},
+                "n_batches": 0}
     try:
         batches = spark.read.parquet(batches_dir)
     except Exception:
         return {"updated_raw": raw_df, "merged_tiers": existing_tiers or {},
                 "n_batches": 0}
-    try:
-        done = spark.read.parquet(processed_dir).select("batch_id").distinct()
-        batches = batches.join(F.broadcast(done), "batch_id", "left_anti")
-    except Exception:
-        pass
+    if not (processed_dir.startswith("/") and not os.path.exists(processed_dir)):
+        try:
+            done = spark.read.parquet(processed_dir).select("batch_id").distinct()
+            batches = batches.join(F.broadcast(done), "batch_id", "left_anti")
+        except Exception:
+            pass
     n = batches.select("batch_id").distinct().count()
     if n == 0:
         return {"updated_raw": raw_df, "merged_tiers": existing_tiers or {},
