@@ -41,21 +41,26 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"""
         select source,
                count(*) as n_docs,
-               sum(size(split(text, ' '))) as ws_tokens,
-               sum(size(regexp_extract_all(text, '{TOKEN_RE}', 0))) as bpe_tokens,
-               round(avg(n_chars), 4) as avg_chars
+               cast(sum(size(split(text, ' '))) as bigint) as ws_tokens,
+               cast(sum(size(regexp_extract_all(text, '{TOKEN_RE}', 0))) as bigint)
+                   as bpe_tokens,
+               cast(sum(n_chars) as bigint) * 10000 div count(*) as avg_chars_x1e4
         from documents
         group by source
         order by source
     """)
 
 
+# sums cast to BIGINT on both sides (DuckDB sums to HUGEINT by default) and
+# the average kept in integer fixed-point (x1e4) so the value hash is
+# representation-stable across engines.
 ORACLE_TOKEN_COUNT = f"""
     select source,
            count(*) as n_docs,
-           sum(len(string_split(text, ' '))) as ws_tokens,
-           sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) as bpe_tokens,
-           round(avg(n_chars), 4) as avg_chars
+           cast(sum(len(string_split(text, ' '))) as bigint) as ws_tokens,
+           cast(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) as bigint)
+               as bpe_tokens,
+           cast(sum(n_chars) as bigint) * 10000 // count(*) as avg_chars_x1e4
     from documents
     group by source
     order by source
