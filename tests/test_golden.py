@@ -2,9 +2,15 @@
 tests/test_whittaker.py:31-55 strategy: a pinned 742-point series with
 expected outputs for every kernel, asserted at decimal=5 + exact integers).
 
-The fixture (tests/data/kernel_golden.parquet) was produced by the oracle
-after it was validated against the scalar reference-order implementation —
-any numeric drift in a future round fails here first.
+The fixture (tests/data/kernel_golden.parquet) is REFERENCE-ANCHORED: the
+y/w inputs and every expected float output (z_*, sopt_*, lag1corr) are
+copied verbatim from the reference's own golden pickle
+(/root/reference/modape/data/MXD_testdata.pkl, the fixture of
+/root/reference/tests/test_whittaker.py). Only the integer tier columns
+(smoothed_int/dekad_int/pentad_int) are engine outputs, pinned as
+regression anchors. Regenerate with scripts/regen_kernel_golden.py.
+tests/test_golden_reference.py additionally loads the pickle directly so
+the correctness chain does not depend on the parquet copy.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ def golden():
 
 def test_golden_series_shape(golden):
     assert golden["y"].shape == (742,)
-    assert golden["lag1corr"] == pytest.approx(0.9668732542740259, abs=1e-12)
+    assert golden["lag1corr"] == pytest.approx(0.9478564478181846, abs=1e-12)
 
 
 def test_golden_ws2d(golden):
