@@ -207,17 +207,38 @@ _SIMHASH_HAMMING_MAX = 3
 
 def _simhash_pairs_sql(dialect: str) -> str:
     """Near-duplicate pairs by SimHash hamming distance <= 3 (bit_count of
-    the XOR — both engines provide bit_count natively)."""
+    the XOR — both engines provide bit_count natively).
+
+    Scale path: the 16-bit fingerprint is split into 4 bands of 4 bits.
+    By pigeonhole, hamming <= 3 implies at least one band is bit-equal, so
+    an equi-join on (band_id, band_val) generates a guaranteed superset of
+    the qualifying pairs — shuffle is bounded by band-bucket collisions,
+    never the O(n^2) cross product.  The exact hamming filter then makes
+    the output identical to the all-pairs formulation."""
     inner = _simhash_sql(dialect).replace("order by doc_id", "")
     if dialect == "spark":
-        ham = "bit_count(a.simhash16 ^ b.simhash16)"
+        ham = "bit_count(sha ^ shb)"
+        band_src = "sh16 lateral view explode(array(0, 1, 2, 3)) t as band_id"
+        band_val = "cast(shiftright(simhash16, band_id * 4) & 15 as int)"
     else:
-        ham = "bit_count(cast(xor(a.simhash16, b.simhash16) as bigint))"
+        ham = "bit_count(cast(xor(sha, shb) as bigint))"
+        band_src = "sh16, unnest([0, 1, 2, 3]) as t(band_id)"
+        band_val = "(simhash16 >> (band_id * 4)) & 15"
     return f"""
-        with sh16 as ({inner})
-        select a.doc_id as doc_a, b.doc_id as doc_b,
-               {ham} as hamming
-        from sh16 a join sh16 b on a.doc_id < b.doc_id
+        with sh16 as ({inner}),
+        banded as (
+            select doc_id, simhash16, band_id, {band_val} as band_val
+            from {band_src}
+        ),
+        cand as (
+            select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+                   a.simhash16 as sha, b.simhash16 as shb
+            from banded a join banded b
+              on a.band_id = b.band_id and a.band_val = b.band_val
+                 and a.doc_id < b.doc_id
+        )
+        select doc_a, doc_b, {ham} as hamming
+        from cand
         where {ham} <= {_SIMHASH_HAMMING_MAX}
         order by doc_a, doc_b
     """

@@ -80,12 +80,88 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_knn_sql("spark"))
 
 
+N_GRID_DIMS = 2      # projection dims for the epsilon-join grid
+# cos(a,b) >= tau  <=>  ||a_hat - b_hat|| <= sqrt(2 - 2*tau)  (unit vectors)
+GRID_R = float(np.sqrt(2.0 - 2.0 * NEARDUP_TAU))
+
+
+def _unit_planes(k: int) -> np.ndarray:
+    """First k hyperplanes, normalized to unit length (so Cauchy-Schwarz
+    bounds the per-dimension projection gap by the pair distance)."""
+    p = _planes()[:k]
+    return p / np.linalg.norm(p, axis=1, keepdims=True)
+
+
+def _cell_exprs(dialect: str, emb: str) -> list[str]:
+    """Grid-cell index per projection dim: floor(p_hat . v_hat / R).
+
+    The fold order, literals, and division sequence are identical in both
+    dialects, so the doubles — and therefore the floor boundaries — agree
+    bit-for-bit."""
+    norm = (f"sqrt({_dot_spark(emb, emb)})" if dialect == "spark"
+            else f"sqrt({_dot_duck(emb, emb)})")
+    out = []
+    for plane in _unit_planes(N_GRID_DIMS):
+        lits = ", ".join(repr(v) for v in plane)
+        if dialect == "spark":
+            dot = (f"aggregate(zip_with({emb}, array({lits}), "
+                   f"(x, y) -> cast(x as double) * y), cast(0.0 as double), "
+                   f"(acc, v) -> acc + v)")
+        else:
+            dot = (f"list_reduce(list_prepend(0.0, "
+                   f"list_transform(generate_series(1, {DIM}), "
+                   f"i -> {emb}[i]::double * ([{lits}])[i])), "
+                   f"(acc, v) -> acc + v)")
+        out.append(f"cast(floor(({dot} / {norm}) / {GRID_R!r}) as bigint)")
+    return out
+
+
 def _neardup_sql(dialect: str) -> str:
-    cos = _cosine(dialect, "a.embedding", "b.embedding")
+    """Embedding-cosine near-duplicate pairs via a deterministic epsilon
+    join (EXACT — not approximate).
+
+    cos >= tau on normalized vectors is a radius search with
+    r = sqrt(2 - 2*tau).  Each vector is hashed to a grid cell per unit
+    projection; |p.(a_hat - b_hat)| <= ||a_hat - b_hat|| <= r means any
+    qualifying pair differs by at most 1 cell per dimension.  One side
+    explodes to the 3^k neighbouring cells and equi-joins the other side's
+    home cell, so the shuffle is bounded by grid-cell collisions — no
+    O(n^2) cross product — and each unordered pair matches exactly once
+    (the needed offset per dim is unique).  The exact cosine filter then
+    yields results identical to the all-pairs formulation.  (Sign-bit LSH
+    cannot guarantee this: measured bucket hamming of true pairs at
+    tau=0.45 reaches 6 of 8 bits.  At production near-dup thresholds,
+    tau ~ 0.9, r shrinks to ~0.45 and the grid prunes much harder.)"""
+    cells = _cell_exprs(dialect, "embedding")
+    cell_cols = ", ".join(f"{e} as c{i}" for i, e in enumerate(cells))
+    if dialect == "spark":
+        probe_src = " ".join(
+            f"lateral view explode(array(-1, 0, 1)) t{i} as o{i}"
+            for i in range(N_GRID_DIMS))
+        probe_src = f"v {probe_src}"
+    else:
+        probe_src = ", ".join(
+            f"unnest([-1, 0, 1]) as t{i}(o{i})" for i in range(N_GRID_DIMS))
+        probe_src = f"v, {probe_src}"
+    probe_cols = ", ".join(f"c{i} + o{i} as p{i}" for i in range(N_GRID_DIMS))
+    join_on = " and ".join(f"a.p{i} = b.c{i}" for i in range(N_GRID_DIMS))
+    cos = _cosine(dialect, "ea", "eb")
     return f"""
-        select a.vec_id as vec_a, b.vec_id as vec_b,
+        with v as (
+            select vec_id, embedding, {cell_cols} from embeddings
+        ),
+        probes as (
+            select vec_id, embedding, {probe_cols} from {probe_src}
+        ),
+        cand as (
+            select a.vec_id as vec_a, b.vec_id as vec_b,
+                   a.embedding as ea, b.embedding as eb
+            from probes a join v b
+              on {join_on} and a.vec_id < b.vec_id
+        )
+        select vec_a, vec_b,
                cast(floor({cos} * 10000 + 0.5) as bigint) as cosine_e4
-        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        from cand
         where {cos} >= {NEARDUP_TAU}
         order by vec_a, vec_b
     """
