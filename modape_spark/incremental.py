@@ -78,28 +78,43 @@ def dedup_batches(batches: DataFrame) -> DataFrame:
     )
 
 
-def validate_append(raw_df: DataFrame, batches: DataFrame) -> None:
+def validate_append(raw_df: DataFrame, batches: DataFrame) -> DataFrame:
     """ST1: every suffix must start exactly at the stored watermark
     (n_tok); anything earlier is late data -> reject the whole batch, as the
-    reference refuses out-of-order collects.  Broadcast-joined: the check
-    touches only (doc_id, n_tok) vs (doc_id, start_offset), never token
-    payloads — cheap at any scale, and the anti-join result is pruned to the
-    first offending rows for the error message.
+    reference refuses out-of-order collects.
+
+    Scale shape: the batch key set (the small side of any append) is
+    BROADCAST against the stored table, so the 10^12-key raw side is
+    scanned once — column-pruned to (doc_id, n_tok) — and never shuffled.
+    The happy path is a single inner broadcast-hash-join + one partial
+    aggregation; offender samples are only materialized on the error path.
+    Returns the joined keys DataFrame so tests can assert the plan shape.
     """
     stored = raw_df.select("doc_id", "n_tok")
-    bad = (
-        batches.select("doc_id", "start_offset")
-        .join(stored, "doc_id", "left")
-        .filter(
-            F.col("n_tok").isNull() | (F.col("start_offset") != F.col("n_tok"))
-        )
-    )
-    sample = bad.limit(5).collect()
-    if sample:
+    b = batches.select("doc_id", "start_offset")
+    joined = stored.join(F.broadcast(b), "doc_id")  # inner: BuildRight bcast
+    mismatch = F.col("start_offset") != F.col("n_tok")
+    stats = joined.agg(
+        F.count("*").alias("matched"),
+        F.sum(mismatch.cast("long")).alias("n_bad"),
+    ).collect()[0]
+    if stats["n_bad"]:
+        sample = joined.filter(mismatch).limit(5).collect()
         raise LateDataError(
             "non-sequential update batches (late or gapped data rejected, "
             f"collect.py:367-370 semantics); first offenders: {sample}"
         )
+    n_batches = b.count()  # batch side: tiny
+    if stats["matched"] != n_batches:
+        missing = (
+            b.join(joined.select("doc_id"), "doc_id", "left_anti")
+            .limit(5).collect()
+        )
+        raise LateDataError(
+            "update batches for unknown doc_ids (no stored series to append "
+            f"to); first offenders: {missing}"
+        )
+    return joined
 
 
 def append_suffixes(raw_df: DataFrame, batches: DataFrame,
@@ -115,7 +130,9 @@ def append_suffixes(raw_df: DataFrame, batches: DataFrame,
     if validate:
         validate_append(raw_df, b)
     b = b.select("doc_id", F.col("tokens_suffix"))
-    joined = raw_df.join(b, "doc_id", "left")
+    # suffix batches are the small side of any append: broadcast them so the
+    # stored table is never shuffled (left-outer + BuildRight broadcast)
+    joined = raw_df.join(F.broadcast(b), "doc_id", "left")
     return (
         joined.withColumn(
             "tokens",

@@ -18,6 +18,7 @@ from modape_spark.incremental import (
     dedup_batches,
     incremental_rollup,
     merge_tier_tail,
+    validate_append,
 )
 from modape_spark.rollup import SmoothConfig, process_length_group
 from modape_spark.sources.sequences import sequences_df
@@ -174,3 +175,22 @@ def test_watermarks(spark):
     assert sum(r["n_docs"] for r in wm.values()) == 50
     for r in wm.values():
         assert r["max_position"] >= r["min_position"]
+
+
+def test_validate_append_broadcasts_batch_side(spark):
+    """The ST1 check must broadcast the (small) batch key set so the stored
+    table is never shuffled (VERDICT r01 item 8)."""
+    raw = _init_raw(spark)
+    batches = _suffix_batches(spark, raw, npoints=2)
+    joined = validate_append(raw, dedup_batches(batches))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_append_suffixes_broadcasts_batch_side(spark):
+    raw = _init_raw(spark)
+    batches = _suffix_batches(spark, raw, npoints=2)
+    updated = append_suffixes(raw, batches)
+    plan = updated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
