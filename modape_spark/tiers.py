@@ -35,7 +35,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .compression import encode_dod
-from .constants import STRES_DEKAD, STRES_PENTAD
+from .constants import NODATA, STRES_DEKAD, STRES_PENTAD
+
+NODATA_INT = int(NODATA)
 from .grids import grid_for_length
 from .rollup import SmoothConfig, process_length_group
 
@@ -186,14 +188,26 @@ def tier_view(spark: SparkSession, combined_dir: str, tier: str) -> DataFrame:
 
 
 def export_tier_slice(spark: SparkSession, combined_dir: str, tier: str,
-                      position: int) -> DataFrame:
+                      position: int,
+                      clip_valid: tuple[int, int] | None = None,
+                      nodata: int = NODATA_INT) -> DataFrame:
     """S9 per-date export: one time index across all keys
     (window.py:291-393 _get_raster analogue).  Column-pruned scan + a
-    single element_at — no UDF, no shuffle."""
+    single element_at — no UDF, no shuffle.
+
+    ``clip_valid=(vmin, vmax)`` applies the reference's export-time
+    valid-range clip (P3, window.py:382-384: ``np.clip(arr, vmin, vmax,
+    where=arr != nodata)``) — nodata sentinels pass through unclipped."""
     col = tier if tier in ("dekad", "pentad") else "smoothed"
+    value = F.element_at(col, int(position))
+    if clip_valid is not None:
+        vmin, vmax = int(clip_valid[0]), int(clip_valid[1])
+        value = F.when(value == int(nodata), value).otherwise(
+            F.least(F.greatest(value, F.lit(vmin)), F.lit(vmax))
+        )
     return (
         spark.read.parquet(combined_dir)
-        .select("doc_id", "source", F.element_at(col, int(position)).alias("value"))
+        .select("doc_id", "source", value.alias("value"))
     )
 
 

@@ -148,3 +148,26 @@ def test_export_tier_slice(spark, tmp_path):
     rows = sl.collect()
     assert len(rows) == 40
     assert {"doc_id", "source", "value"} == set(sl.columns)
+
+
+def test_export_tier_slice_clip_valid(spark, tmp_path):
+    """P3 export-time valid-range clip (window.py:382-384): values clipped
+    into [vmin, vmax] EXCEPT nodata sentinels, which pass through."""
+    from modape_spark.tiers import export_tier_slice
+
+    out = str(tmp_path / "expc")
+    materialize_rollup(sequences_df(spark, 40, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+    raw = {r["doc_id"]: r["value"]
+           for r in export_tier_slice(spark, out, "dekad", 1).collect()}
+    vmin, vmax = 0, 120
+    clipped = {r["doc_id"]: r["value"]
+               for r in export_tier_slice(spark, out, "dekad", 1,
+                                          clip_valid=(vmin, vmax)).collect()}
+    assert set(raw) == set(clipped)
+    for k, v in raw.items():
+        want = v if v == -3000 else min(max(v, vmin), vmax)
+        assert clipped[k] == want, (k, v, clipped[k])
+    # the clip actually binds somewhere (tokens exceed 120 in the fixture)
+    assert any(v != raw[k] for k, v in clipped.items())
