@@ -1,0 +1,80 @@
+"""PNG codec tests: real decode on stdlib zlib (VERDICT r01 item 6).
+
+The encoder cycles all five scanline filters, so a single >=5-row image
+exercises every unfilter branch; corruption tests prove the decoder
+actually validates structure instead of pattern-matching the encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from modape_spark.operators.multimodal import (
+    decode_png_gray,
+    encode_png_gray,
+    synth_pixels,
+)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 42, 9999, 123456])
+def test_png_roundtrip(doc_id):
+    px = synth_pixels(doc_id)
+    assert px.shape == (doc_id % 61 + 16, doc_id % 97 + 16)
+    got = decode_png_gray(encode_png_gray(px))
+    assert np.array_equal(got, px)
+
+
+def test_png_roundtrip_adversarial_pixels():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+    assert np.array_equal(decode_png_gray(encode_png_gray(px)), px)
+    # constant and extreme images (filter deltas all-zero / wrapping)
+    for fill in (0, 255):
+        img = np.full((11, 13), fill, dtype=np.uint8)
+        assert np.array_equal(decode_png_gray(encode_png_gray(img)), img)
+
+
+def test_png_rejects_bad_signature():
+    blob = encode_png_gray(synth_pixels(5))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_gray(b"GIF89a" + blob[6:])
+
+
+def test_png_rejects_corrupt_crc():
+    blob = bytearray(encode_png_gray(synth_pixels(5)))
+    # flip one byte inside the IDAT payload (after sig+IHDR chunk)
+    idat_at = bytes(blob).index(b"IDAT")
+    blob[idat_at + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png_gray(bytes(blob))
+
+
+def test_png_rejects_unsupported_color_type():
+    px = synth_pixels(3)
+    blob = bytearray(encode_png_gray(px))
+    ihdr_at = bytes(blob).index(b"IHDR")
+    body = bytearray(blob[ihdr_at + 4:ihdr_at + 17])
+    body[9] = 2  # RGB color type
+    blob[ihdr_at + 4:ihdr_at + 17] = body
+    # re-seal CRC so the failure is the color-type check, not CRC
+    crc = zlib.crc32(bytes(blob[ihdr_at:ihdr_at + 17]))
+    blob[ihdr_at + 17:ihdr_at + 21] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_png_gray(bytes(blob))
+
+
+def test_every_filter_type_present_in_stream():
+    """The encoder must emit all 5 filter types (else the oracle gate only
+    proves a subset of the decoder)."""
+    px = synth_pixels(77)  # >= 5 rows
+    blob = encode_png_gray(px)
+    idat_at = blob.index(b"IDAT")
+    (length,) = struct.unpack(">I", blob[idat_at - 4:idat_at])
+    raw = zlib.decompress(blob[idat_at + 4:idat_at + 4 + length])
+    stride = px.shape[1] + 1
+    ftypes = {raw[y * stride] for y in range(px.shape[0])}
+    assert ftypes == {0, 1, 2, 3, 4}
