@@ -87,3 +87,90 @@ def test_e2e_reimport_reproduces(spark):
     reproduces the identical tier bytes — the reference's re-import
     verification (tests/test_cli.py:822-858)."""
     assert _pipeline(spark) == _pipeline(spark)
+
+
+def test_e2e_sgrid_export_destroy_reimport(spark, tmp_path):
+    """Full mirror of the reference E2E's sgrid loop
+    (tests/test_cli.py:609-858): init with soptimize -> export sgrid state
+    -> forward run A -> DESTROY the smooth state on disk -> re-import the
+    sgrid from its export -> rebuild the archive fixed-from-grid ->
+    forward run B. The re-imported sgrid must hash-equal its export
+    (reference step 7's sha1 assert) and both the rebuilt stored tier and
+    the forward-merged tier must equal the never-destroyed run's."""
+    import shutil
+
+    from modape_spark.tiers import materialize_rollup
+
+    full = sequences_df(spark, N_DOCS).filter(F.col("n_tok") >= 64)
+    init = (
+        full.withColumn("tokens_full", F.col("tokens"))
+        .withColumn("tokens", F.slice("tokens", 1, KEEP))
+        .withColumn("n_tok", F.lit(KEEP).cast("int"))
+    )
+    init_raw = init.drop("tokens_full")
+    tiers_dir = str(tmp_path / "tiers")
+    materialize_rollup(init_raw, tiers_dir,
+                       SmoothConfig(soptimize=True, p=0.90, tempint=(10,)),
+                       n_buckets=4)
+
+    # export the sgrid state to its own table (reference: sgrid GeoTIFF)
+    sgrid_dir = str(tmp_path / "sgrid_export")
+    spark.read.parquet(tiers_dir).select("doc_id", "sopt_log10") \
+        .write.parquet(sgrid_dir)
+
+    def sgrid_hash() -> str:
+        rows = spark.read.parquet(sgrid_dir).collect()
+        h = hashlib.sha256()
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            h.update(r["doc_id"].encode())
+            h.update(np.float32(r["sopt_log10"]).tobytes())
+        return h.hexdigest()
+
+    exported_hash = sgrid_hash()
+
+    def stored_dekad_rows(state_dir: str) -> dict:
+        return {r["doc_id"]: list(r["dekad"])
+                for r in spark.read.parquet(state_dir)
+                .select("doc_id", "dekad").collect()}
+
+    def forward(state_dir: str) -> dict:
+        stored = spark.read.parquet(state_dir).select("doc_id", "dekad")
+        sgrid_df = spark.read.parquet(sgrid_dir)
+        batches = init.select(
+            "doc_id",
+            F.lit("fwd").alias("batch_id"),
+            F.lit(1).cast("long").alias("proc_ts"),
+            F.expr(f"slice(tokens_full, {KEEP + 1}, 2)").alias("tokens_suffix"),
+            F.lit(KEEP).cast("int").alias("start_offset"),
+        )
+        updated = append_suffixes(init_raw, batches)
+        with_state = updated.join(sgrid_df, "doc_id")
+        cfg_fwd = SmoothConfig(soptimize=False, svalue=None, p=0.90,
+                               tempint=(10,))
+        tail = incremental_rollup(with_state, nsmooth=16, nupdate=1,
+                                  cfg=cfg_fwd)
+        merged = merge_tier_tail(
+            stored, tail.select("doc_id", "dekad", "dekad_total"),
+            "dekad", nupdate=1, total_col="dekad_total")
+        return {r["doc_id"]: list(r["dekad"]) for r in merged.collect()}
+
+    original_stored = stored_dekad_rows(tiers_dir)
+    run_a = forward(tiers_dir)
+
+    shutil.rmtree(tiers_dir)  # destroy the smooth state (reference step 6)
+
+    # re-import sgrid and rebuild the archive fixed-from-grid (step 7)
+    assert sgrid_hash() == exported_hash
+    rebuilt_dir = str(tmp_path / "tiers_rebuilt")
+    sgrid_df = spark.read.parquet(sgrid_dir)
+    materialize_rollup(init_raw.join(sgrid_df, "doc_id"), rebuilt_dir,
+                       SmoothConfig(soptimize=False, svalue=None, p=0.90,
+                                    tempint=(10,)),
+                       n_buckets=4)
+    # the rebuilt stored tier reproduces the destroyed one exactly
+    assert stored_dekad_rows(rebuilt_dir) == original_stored
+
+    # forward run in the same fashion (step 8): identical merged tier
+    run_b = forward(rebuilt_dir)
+    assert _tier_hash(run_a) == _tier_hash(run_b)
+    assert run_a == run_b
