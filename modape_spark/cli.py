@@ -22,6 +22,8 @@ import argparse
 import json
 import sys
 
+from .constants import RTRES, TSHIFT
+
 
 def _spark(args):
     from .session import get_spark
@@ -55,6 +57,9 @@ def cmd_smooth(args) -> int:
         tempint=tuple(args.tempint),
         nsmooth=args.nsmooth,
         nupdate=args.nupdate,
+        rtres=args.rtres,
+        tshift=args.tshift,
+        tempint_start=args.tempint_start,
     )
     if args.lineage:
         metrics = run_with_checkpoints(spark, raw, args.out, args.lineage,
@@ -126,6 +131,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tempint", type=int, nargs="*", default=[10, 5])
     s.add_argument("--nsmooth", type=int, default=0)
     s.add_argument("--nupdate", type=int, default=0)
+    # per-product axis knobs (reference modis_smooth --tempint-start and
+    # constants.py:72-102 per-product tshift/rtres)
+    s.add_argument("--tempint-start", dest="tempint_start", default=None)
+    s.add_argument("--tshift", type=int, default=TSHIFT)
+    s.add_argument("--rtres", type=int, default=RTRES)
     s.add_argument("--buckets", type=int, default=32)
     s.add_argument("--lineage", default=None)
     s.set_defaults(fn=cmd_smooth)

@@ -97,6 +97,11 @@ class DateGrid:
             tdiff = (fromjulian(stop) - fromjulian(rawdates[0])).days
             d0 = fromjulian(rawdates[0])
             self.daily = [tojulian(d0 + datetime.timedelta(x)) for x in range(tdiff + 1)]
+            if start not in self.daily:
+                raise ValueError(
+                    f"tempint start {start!r} outside the raw axis "
+                    f"[{self.daily[0]}..{self.daily[-1]}]"
+                )
             self.target = self.daily[self.daily.index(start)::stres]
         else:
             yrmin = int(min(x[:4] for x in rawdates))
@@ -169,15 +174,18 @@ def raw_dates_for_length(n_tok: int, epoch: str = EPOCH_JULIAN,
 @lru_cache(maxsize=512)
 def grid_for_length(n_tok: int, stres: int, rtres: int = RTRES,
                     tshift: int = TSHIFT,
-                    epoch: str = EPOCH_JULIAN) -> "PreparedGrid":
+                    epoch: str = EPOCH_JULIAN,
+                    start: str | None = None) -> "PreparedGrid":
     """Cached, numpy-ready grid bundle for one (n_tok, stres) combination.
 
     All hot-path consumers (tiers.py mapInPandas batches) go through this
     cache — one grid computation per distinct series length per executor,
-    amortized to zero at scale.
+    amortized to zero at scale.  ``start`` is the reference's custom
+    interpolation start (utils.py:79-83 / modis_smooth --tempint-start):
+    the target grid becomes every ``stres``-th daily date from ``start``.
     """
     rawdates = raw_dates_for_length(n_tok, epoch, rtres)
-    g = DateGrid(rawdates, rtres, stres, tshift)
+    g = DateGrid(rawdates, rtres, stres, tshift, start)
     return PreparedGrid(
         n_daily=g.n_daily,
         scatter_ix=g.scatter_indices(),

@@ -20,6 +20,8 @@ watermark in positional form — position k <-> a julian date, grids.py).
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,11 +165,7 @@ def incremental_rollup(
     if nsmooth and nupdate and nsmooth < nupdate:
         raise ValueError("nsmooth must be >= nupdate (scripts/modis_smooth.py:142-144)")
     base = cfg or SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD, STRES_PENTAD))
-    wcfg = SmoothConfig(
-        soptimize=base.soptimize, svalue=base.svalue, srange=base.srange,
-        p=base.p, nodata=base.nodata, coverage_min_frac=base.coverage_min_frac,
-        tempint=base.tempint, nsmooth=nsmooth, nupdate=nupdate,
-    )
+    wcfg = replace(base, nsmooth=nsmooth, nupdate=nupdate)
     return rollup_dataframe(updated_raw, wcfg)
 
 

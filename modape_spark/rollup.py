@@ -30,11 +30,14 @@ import numpy as np
 from . import kernels as K
 from .constants import (
     COVERAGE_MIN_FRAC,
+    EPOCH_JULIAN,
     NODATA,
+    RTRES,
     SRANGE_HIGH_CORR,
     SRANGE_LOW_CORR,
     SRANGE_NAN_CORR,
     TINTERPOLATE_LAMBDA,
+    TSHIFT,
 )
 from .grids import PreparedGrid, grid_for_length
 
@@ -53,6 +56,12 @@ class SmoothConfig:
     tempint: tuple[int, ...] = ()      # target resolutions to interpolate (5/10/...)
     nsmooth: int = 0                   # trailing raw window (0 = all)
     nupdate: int = 0                   # trailing output points to produce (0 = all)
+    # per-product axis parameters (reference constants.py:72-102 product
+    # table + modis_smooth --tempint-start, smooth.py:73-91):
+    rtres: int = RTRES                 # raw temporal resolution (days)
+    tshift: int = TSHIFT               # shift before the daily-grid scatter
+    tempint_start: str | None = None   # custom target-grid start (YYYYDDD)
+    epoch: str = EPOCH_JULIAN          # julian date of token position 0
 
 
 def smooth_block(
@@ -169,6 +178,10 @@ def tinterpolate_multi(
     stres_list: tuple[int, ...],
     nodata: float = NODATA,
     nupdate: int = 0,
+    rtres: int = RTRES,
+    tshift: int = TSHIFT,
+    epoch: str = EPOCH_JULIAN,
+    start: str | None = None,
 ) -> dict[int, np.ndarray]:
     """Shared-daily-curve interpolation for several target grids.
 
@@ -177,7 +190,8 @@ def tinterpolate_multi(
     target grid from the same daily curve, smooth.py:549-557) — compute it
     once, gather per grid.
     """
-    grids = {s: grid_for_length(n_tok, s) for s in stres_list}
+    grids = {s: grid_for_length(n_tok, s, rtres, tshift, epoch, start)
+             for s in stres_list}
     R, k = Z.shape
     idx = np.where(covered)[0]
     sm = None
@@ -235,7 +249,9 @@ def process_length_group(
     )
     if cfg.tempint:
         multi = tinterpolate_multi(Z, covered, n_tok, tuple(cfg.tempint),
-                                   cfg.nodata, cfg.nupdate)
+                                   cfg.nodata, cfg.nupdate,
+                                   cfg.rtres, cfg.tshift, cfg.epoch,
+                                   cfg.tempint_start)
         for stres, vals in multi.items():
             res.interp[stres] = np.rint(vals).astype(np.int32)
             res.target_lengths[stres] = vals.shape[1]

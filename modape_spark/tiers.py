@@ -90,14 +90,18 @@ def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> 
                 s_dod[r] = encode_dod(res.smoothed[j])
         if want_dekad:
             blk = res.interp[STRES_DEKAD]
-            dekad_total[sel] = grid_for_length(int(n), STRES_DEKAD).target_ix.size
+            dekad_total[sel] = grid_for_length(
+                int(n), STRES_DEKAD, cfg.rtres, cfg.tshift, cfg.epoch,
+                cfg.tempint_start).target_ix.size
             for j, r in enumerate(sel):
                 dekad[r] = blk[j]
                 if compress:
                     d_dod[r] = encode_dod(blk[j])
         if want_pentad:
             blk = res.interp[STRES_PENTAD]
-            pentad_total[sel] = grid_for_length(int(n), STRES_PENTAD).target_ix.size
+            pentad_total[sel] = grid_for_length(
+                int(n), STRES_PENTAD, cfg.rtres, cfg.tshift, cfg.epoch,
+                cfg.tempint_start).target_ix.size
             for j, r in enumerate(sel):
                 pentad[r] = blk[j]
                 if compress:

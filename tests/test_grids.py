@@ -108,3 +108,72 @@ def test_dategrid_custom_start():
         (fromjulian(b) - fromjulian(a)).days == 10
         for a, b in zip(g.target, g.target[1:])
     )
+
+
+def test_grid_for_length_custom_params():
+    """(start, rtres, tshift) plumb through grid_for_length (VERDICT r01
+    item 10): non-default tshift shifts every scatter position by exactly
+    the extra days on the daily axis, custom rtres changes the axis span,
+    and a custom start produces the reference's daily[start::stres]
+    target grid (utils.py:79-83)."""
+    from modape_spark.grids import grid_for_length, raw_dates_for_length
+
+    g8 = grid_for_length(60, 10, 8, 8, "2002185")
+    g0 = grid_for_length(60, 10, 8, 0, "2002185")
+    # rowwise oracle: scatter position of raw date r with shift t is
+    # daily.index(r + t days); with the same daily axis the two grids
+    # differ by the day-delta of the shift
+    raw = raw_dates_for_length(60, "2002185", 8)
+    import datetime
+
+    from modape_spark.grids import fromjulian
+    for i, rd in enumerate(raw):
+        d = fromjulian(rd)
+        assert (g8.scatter_ix[i] - g0.scatter_ix[i]
+                == (d + datetime.timedelta(8) - d).days == 8)
+    # custom start: target = daily[start::stres], so consecutive target
+    # dates are exactly stres days apart (vs calendar dekads otherwise)
+    gs = grid_for_length(60, 10, 8, 8, "2002185", "2002190")
+    t = [fromjulian(x) for x in gs.target_dates]
+    assert gs.target_dates[0] == "2002190"
+    assert all((b - a).days == 10 for a, b in zip(t, t[1:]))
+    # non-default rtres: 16-day axis spans ~2x the days of the 8-day axis
+    # (epoch must sit on the rtres grid: day 177 = 1 + 16*11)
+    g16 = grid_for_length(60, 10, 16, 8, "2002177")
+    assert g16.n_daily > 1.8 * g8.n_daily
+
+
+def test_rollup_non_default_tshift_rowwise_oracle():
+    """process_length_group with a non-default tshift matches a scalar
+    rowwise re-implementation of the reference's tinterpolate
+    (smooth.py:362-365 scatter + lambda=1e-4 daily ws2d + target gather)."""
+    import numpy as np
+
+    from modape_spark.constants import TINTERPOLATE_LAMBDA
+    from modape_spark.grids import grid_for_length
+    from modape_spark.rollup import SmoothConfig, process_length_group
+    from tests.reference_scalar import ws2d as ws2d_scalar
+
+    rng = np.random.default_rng(11)
+    n = 48
+    y = rng.integers(200, 9000, size=n).astype(np.float64)
+    y[[3, 17, 30]] = -3000.0
+    cfg = SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,), tshift=4)
+    res = process_length_group(y[None, :], n, cfg)
+
+    # rowwise oracle, built independently from the grid primitives
+    from tests.reference_scalar import ws2dp  # noqa: F401 (import check)
+    w = (y != -3000.0).astype(np.float64)
+    z = np.asarray(ws2d_scalar(y, 10.0, w), dtype=np.float64)
+    g = grid_for_length(n, 10, 8, 4, "2002185")
+    daily = np.full(g.n_daily, -3000.0)
+    daily[g.scatter_ix] = z
+    wd = (daily != -3000.0).astype(np.float64)
+    sm = np.asarray(ws2d_scalar(daily, TINTERPOLATE_LAMBDA, wd))
+    want = np.rint(sm[g.target_ix]).astype(np.int32)
+    np.testing.assert_array_equal(res.interp[10][0], want)
+    # and the default tshift gives a DIFFERENT gather (the shift matters)
+    res8 = process_length_group(y[None, :], n,
+                                SmoothConfig(soptimize=False, svalue=1.0,
+                                             tempint=(10,), tshift=8))
+    assert not np.array_equal(res.interp[10][0], res8.interp[10][0])
