@@ -12,6 +12,13 @@ parquet directories:
 - bucket layout (pmod(xxhash64(doc_id), N)) is the partition spec in both
   backends, so state joins stay co-located and resume pruning works
   unchanged.
+
+Iceberg jar requirement: the MERGE branch needs
+``org.apache.iceberg:iceberg-spark-runtime-4.0_2.13`` on the classpath and
+a catalog conf such as ``spark.sql.catalog.ice=org.apache.iceberg.spark.
+SparkCatalog``.  This sandbox ships no such jar, so the MERGE statement is
+validated by Spark's SQL parser in tests (tests/test_catalog.py) rather
+than executed; the parquet path provides the executed coverage.
 """
 
 from __future__ import annotations
@@ -21,7 +28,21 @@ from pyspark.sql import functions as F
 
 from .tiers import with_bucket
 
-__all__ = ["TableCatalog"]
+__all__ = ["TableCatalog", "merge_upsert_sql"]
+
+
+def merge_upsert_sql(target: str, source_view: str, key: str,
+                     columns: list[str]) -> str:
+    """The Iceberg MERGE INTO text for an upsert: matched rows replaced
+    column-by-column, unmatched inserted.  Pure function so the generated
+    SQL is unit-testable without an Iceberg runtime."""
+    sets = ", ".join(f"{c} = s.{c}" for c in columns if c != key)
+    return (
+        f"MERGE INTO {target} t\n"
+        f"USING {source_view} s ON t.{key} = s.{key}\n"
+        f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
 
 
 class TableCatalog:
@@ -85,13 +106,8 @@ class TableCatalog:
         updates = with_bucket(updates, self.n_buckets)
         if self.iceberg_catalog:
             updates.createOrReplaceTempView("_modape_updates")
-            cols = ", ".join(f"{c} = s.{c}" for c in updates.columns if c != key)
-            self.spark.sql(f"""
-                MERGE INTO {self.path(name)} t
-                USING _modape_updates s ON t.{key} = s.{key}
-                WHEN MATCHED THEN UPDATE SET {cols}
-                WHEN NOT MATCHED THEN INSERT *
-            """)
+            self.spark.sql(merge_upsert_sql(
+                self.path(name), "_modape_updates", key, updates.columns))
             return
         target = self.read(name)
         touched = [r["bucket"] for r in

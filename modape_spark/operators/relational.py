@@ -298,8 +298,65 @@ ORACLE_TOP_SUPPLIERS = """
 """
 
 
+def q_ingest_reclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 nodata-LUT reclass as a standalone ingest operator
+    (io.py:436-452): multi-sentinel token arrays normalized to ONE
+    canonical nodata through sources.ingest.ingest_reclass, then
+    aggregated so the oracle can hash the effect.  floor(value) is used on
+    both sides because double->int cast rounding differs across engines."""
+    from ..sources.ingest import ingest_reclass
+
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id", "event_type",
+        F.expr("array(cast(floor(value) as int), "
+               "cast(event_id % 1000 + 9500 as int), 32767, -32768)"
+               ).alias("tokens"),
+    )
+    rc = ingest_reclass(raw, (0, 10000), (-32768, 32767))
+    return (
+        rc.select(
+            "event_type",
+            F.expr("aggregate(tokens, cast(0 as bigint), (a, t) -> a + t)"
+                   ).alias("row_sum"),
+            F.expr("size(filter(tokens, t -> t = -32768))").alias("n_nd"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("row_sum").cast("long").alias("sum_tokens"),
+             F.sum("n_nd").cast("long").alias("n_reclassed"),
+             F.count("*").alias("n_rows"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_INGEST_RECLASS = """
+    with raw as (
+        select event_id, event_type,
+               [cast(floor(value) as int),
+                cast(event_id % 1000 + 9500 as int), 32767, -32768] as tokens
+        from events
+    ),
+    rc as (
+        select event_type,
+               list_transform(tokens, t -> case when t >= 0 and t <= 10000
+                                           then t else -32768 end) as tokens
+        from raw
+    )
+    select event_type,
+           cast(sum(list_reduce(list_prepend(0::bigint, tokens),
+                                (a, t) -> a + t)) as bigint) as sum_tokens,
+           cast(sum(len(list_filter(tokens, t -> t = -32768))) as bigint)
+               as n_reclassed,
+           count(*) as n_rows
+    from rc
+    group by event_type
+    order by event_type
+"""
+
+
 QUERIES = {
     "events_dedup_latest": q_dedup_latest,
+    "events_ingest_reclass": q_ingest_reclass,
     "events_date_slice": q_date_slice,
     "events_completeness": q_completeness,
     "events_sessionize": q_sessionize,
@@ -311,6 +368,7 @@ QUERIES = {
 
 ORACLES = {
     "events_dedup_latest": ORACLE_DEDUP_LATEST,
+    "events_ingest_reclass": ORACLE_INGEST_RECLASS,
     "events_date_slice": ORACLE_DATE_SLICE,
     "events_completeness": ORACLE_COMPLETENESS,
     "events_sessionize": ORACLE_SESSIONIZE,

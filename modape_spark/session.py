@@ -13,11 +13,15 @@ from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "stop_spark"]
 
-# One Arrow batch ≈ one kernel block.  Measured sweet spot on the solver:
-# 1024 rows x 742 pts keeps the 6-array solver working set (~36 MiB) inside
-# shared cache — 296 rows/s/core vs 133 at 2048 (cache cliff).  The
-# reference's analogue is its HDF5 chunk (= npixels/25 rows, collect.py:263).
-ARROW_BATCH_ROWS = 1024
+# One Arrow batch ≈ one kernel block.  Measured across concurrency levels
+# (BENCH/BASELINE.md): at 128 rows x 742 pts the batched numpy matrices
+# around the C row-solver (V-curve fit/penalty, daily-interp scatter)
+# stay ~760 KiB each and L2-resident, so 32 concurrent workers do not
+# saturate shared cache/DRAM.  1024-row batches were 5x slower at 32
+# workers (92 s vs 18 s for the 100k-row kernel pass) and 1.3x slower at
+# 8; 64 gained nothing more.  The reference's analogue is its HDF5 chunk
+# (= npixels/25 rows, collect.py:263).
+ARROW_BATCH_ROWS = 128
 
 
 def _tune_malloc_env() -> None:

@@ -159,6 +159,7 @@ def materialize_rollup(
     compress: bool = True,
     mode: str = "overwrite",
     bucket_filter: list[int] | None = None,
+    pre_bucketed: bool = False,
 ) -> None:
     """Kernel pass + columnar write, partitioned by bucket for pruned reads.
 
@@ -166,18 +167,25 @@ def materialize_rollup(
     The filter is applied to the RAW side, below the UDF, so skipped buckets
     never reach the kernel; the bucket is recomputed post-UDF (same
     deterministic hash) for the partitioned write.
-    """
+
+    ``pre_bucketed=True`` declares the input ALREADY bucket-partitioned on
+    disk (the catalog's canonical layout: every table partitioned by
+    pmod(xxhash64(doc_id), N)).  Scan tasks then carry near-bucket-aligned
+    rows, so the rolled output is written directly with no exchange — the
+    zero-shuffle path a 10^12-row deployment uses (raw and tier tables
+    co-partitioned; measured eff gain in BENCH/BASELINE.md).  With
+    unbucketed input, a single repartition co-locates each bucket before
+    the write (one file per bucket instead of tasks x buckets tiny files;
+    a 2048-file commit was 3x the kernel time at SF=0.1)."""
     if bucket_filter is not None:
         raw_df = with_bucket(raw_df, n_buckets).filter(
             F.col("bucket").isin([int(b) for b in bucket_filter])
         ).drop("bucket")
     rolled = rollup_dataframe(raw_df, cfg, compress)
+    # bucket recomputed post-UDF (same deterministic hash) in both modes
     rolled = with_bucket(rolled, n_buckets)
-    # co-locate each bucket before the partitioned write: one file per
-    # bucket instead of tasks x buckets tiny files (a 2048-file commit was
-    # 3x the kernel time at SF=0.1).  The shuffle is the compact rolled
-    # output, and the kernel stage pipelines into the shuffle write.
-    rolled = rolled.repartition(n_buckets, F.col("bucket"))
+    if not pre_bucketed:
+        rolled = rolled.repartition(n_buckets, F.col("bucket"))
     # per-write dynamic overwrite: only the buckets present in this job are
     # replaced (idempotent checkpointed resume) regardless of the session's
     # partitionOverwriteMode default
