@@ -57,8 +57,13 @@ def main() -> None:
     from modape_spark.tiers import rollup_dataframe, with_bucket
 
     raw_dir = f"{tmp}/raw"
-    with_bucket(sequences_df(spark, n_rows), max(cpus, 8)) \
-        .repartition(6 * cpus, F.col("bucket"), F.col("doc_id")) \
+    n_buckets = max(cpus, 8)
+    # salt WITHIN bucket so each shuffle task holds ~one (bucket, salt)
+    # slice -> ~6 files per bucket, not tasks x buckets tiny files
+    with_bucket(sequences_df(spark, n_rows), n_buckets) \
+        .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(6))) \
+        .repartition(6 * n_buckets, F.col("bucket"), F.col("_salt")) \
+        .drop("_salt") \
         .write.mode("overwrite").partitionBy("bucket").parquet(raw_dir)
     # kernel cost per input byte is enormous: scan splits far below the
     # 128 MB default so all cores get work (runtime-settable SQL confs)
@@ -80,12 +85,26 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # headline: full multi-tier materialization (kernel pass + write),
-    # zero-shuffle from the bucket-partitioned input
+    # zero-shuffle from the bucket-partitioned input.  Best-of-2 with
+    # per-attempt steal: the sandbox host oscillates (same job measured
+    # 19 s and 97 s in adjacent windows; BENCH/BASELINE.md methodology).
+    def _stat():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
     out = f"{tmp}/combined"
-    timed("tier_all_materialize",
-          lambda: materialize_rollup(raw, out, CFG_ALL,
-                                     n_buckets=max(cpus, 8),
-                                     pre_bucketed=True))
+    attempts = []
+    for i in range(2):
+        a = _stat()
+        t0 = time.time()
+        materialize_rollup(raw, out, CFG_ALL, n_buckets=n_buckets,
+                           pre_bucketed=True)
+        dt = round(time.time() - t0, 3)
+        b = _stat()
+        d = [y - x for x, y in zip(a, b)]
+        attempts.append({"seconds": dt,
+                         "steal_pct": round(100 * d[7] / max(sum(d), 1), 2)})
+    timings["tier_all_materialize"] = min(a["seconds"] for a in attempts)
     headline_sec = timings["tier_all_materialize"]
 
     # secondary tier queries run on a quarter-size slice (breadth checks;
@@ -119,6 +138,7 @@ def main() -> None:
         "n_sequences": n_rows,
         "cpus": cpus,
         "rollup_throughput_seq_per_sec": round(throughput, 1),
+        "headline_attempts": attempts,
     }
     spark.stop()
     shutil.rmtree(tmp, ignore_errors=True)

@@ -68,7 +68,9 @@ def raw_table(n_rows: int) -> str:
         from pyspark.sql import functions as F
 
         with_bucket(sequences_df(spark, n_rows), 32) \
-            .repartition(192, F.col("bucket"), F.col("doc_id")) \
+            .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(6))) \
+            .repartition(192, F.col("bucket"), F.col("_salt")) \
+            .drop("_salt") \
             .write.mode("overwrite").partitionBy("bucket") \
             .parquet(f"{path}/raw")
         spark.stop()
