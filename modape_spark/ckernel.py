@@ -112,6 +112,45 @@ void envelope_rows(const double* Y, const double* lam, const double* W,
         }
     }
 }
+
+/* --- delta-of-delta bitstream decoder (compression.py format) ---------
+   Buckets: '0' | '10'+7b(-63) | '110'+9b(-255) | '1110'+12b(-2047) |
+   '11110'+36b zigzag.  Mirrors compression.decode_dod bit-for-bit; the
+   read path of the compact tier tables.  Returns 0 ok, -1 on overrun. */
+static long long rd_bits(const unsigned char* buf, long* pos, int nb)
+{
+    long long v = 0; long p = *pos; int k;
+    for (k = 0; k < nb; k++) {
+        v = (v << 1) | ((buf[p >> 3] >> (7 - (p & 7))) & 1);
+        p++;
+    }
+    *pos = p; return v;
+}
+
+long dod_decode_stream(const unsigned char* buf, long nbytes,
+                       long long first, long long* out, long n)
+{
+    long long prev = first, prev_d = 0, dod, u;
+    long pos = 0, nbits = nbytes * 8, i;
+    out[0] = first;
+    for (i = 1; i < n; i++) {
+        if (pos >= nbits) return -1;
+        if (rd_bits(buf, &pos, 1) == 0) dod = 0;
+        else if (rd_bits(buf, &pos, 1) == 0) dod = rd_bits(buf, &pos, 7) - 63;
+        else if (rd_bits(buf, &pos, 1) == 0) dod = rd_bits(buf, &pos, 9) - 255;
+        else if (rd_bits(buf, &pos, 1) == 0) dod = rd_bits(buf, &pos, 12) - 2047;
+        else {
+            rd_bits(buf, &pos, 1);           /* trailing 0 of '11110' */
+            u = rd_bits(buf, &pos, 36);
+            dod = (u >> 1) ^ -(u & 1);       /* unzigzag */
+        }
+        if (pos > nbits) return -1;
+        prev_d += dod;
+        prev += prev_d;
+        out[i] = prev;
+    }
+    return 0;
+}
 """
 
 _CFLAGS = ["-O2", "-fno-fast-math", "-ffp-contract=off", "-fPIC", "-shared"]
@@ -159,6 +198,10 @@ def get_lib():
         lib.envelope_rows.argtypes = [dp, dp, dp, ctypes.c_double, dp, dp, dp,
                                       ctypes.c_long, ctypes.c_long]
         lib.envelope_rows.restype = None
+        lib.dod_decode_stream.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_long]
+        lib.dod_decode_stream.restype = ctypes.c_long
         _lib = lib
     except Exception:
         _lib = None

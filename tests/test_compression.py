@@ -77,3 +77,27 @@ def test_gorilla_smooth_series_compresses():
     assert len(enc) < v.size * 8
     out = decode_gorilla(enc)
     assert v.tobytes() == out.tobytes()
+
+
+def test_decode_dod_fast_bit_exact():
+    """The C bit reader must agree with the python reference reader on
+    every bucket (0 / 7b / 9b / 12b / 36b-zigzag) and edge shapes."""
+    import numpy as np
+
+    from modape_spark.compression import decode_dod, decode_dod_fast, encode_dod
+
+    rng = np.random.default_rng(42)
+    cases = [
+        np.array([], dtype=np.int64),
+        np.array([7], dtype=np.int64),
+        np.array([7, 7], dtype=np.int64),
+        np.arange(1000, dtype=np.int64) * 3,          # constant delta -> '0'
+        rng.integers(-64, 65, 300).cumsum(),          # 7-bit bucket
+        rng.integers(-2048, 2049, 300).cumsum(),      # 12-bit bucket
+        rng.integers(-(1 << 30), 1 << 30, 50).cumsum(),  # 36-bit zigzag
+        np.array([0, 1 << 32, -(1 << 32), 0], dtype=np.int64),  # 36b path
+    ]
+    for v in cases:
+        b = encode_dod(v)
+        assert np.array_equal(decode_dod(b), v)
+        assert np.array_equal(decode_dod_fast(b), v)

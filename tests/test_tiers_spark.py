@@ -171,3 +171,38 @@ def test_export_tier_slice_clip_valid(spark, tmp_path):
         assert clipped[k] == want, (k, v, clipped[k])
     # the clip actually binds somewhere (tokens exceed 120 in the fixture)
     assert any(v != raw[k] for k, v in clipped.items())
+
+
+def test_compact_tier_roundtrip_and_size(spark, tmp_path):
+    """Compact (dod-only) tier tables reconstruct the EXACT integer arrays
+    through the C bit reader and are materially smaller on disk."""
+    import os
+
+    from modape_spark.tiers import (
+        materialize_rollup,
+        read_tier_compact,
+        tier_view,
+        write_tier_tables,
+    )
+
+    comb = str(tmp_path / "comb")
+    materialize_rollup(sequences_df(spark, 60, partitions=2), comb,
+                       SmoothConfig(soptimize=False, svalue=1.0,
+                                    tempint=(10,)),
+                       n_buckets=4)
+    plain = write_tier_tables(spark, comb, str(tmp_path / "plain"),
+                              tiers=("dekad",))
+    compact = write_tier_tables(spark, comb, str(tmp_path / "compact"),
+                                tiers=("dekad",), compact=True)
+
+    want = {r["doc_id"]: list(r["dekad"])
+            for r in tier_view(spark, comb, "dekad").collect()}
+    got = {r["doc_id"]: list(r["dekad"])
+           for r in read_tier_compact(spark, compact["dekad"], "dekad").collect()}
+    assert got == want  # exact token equality through encode->disk->decode
+
+    def du(path):
+        return sum(os.path.getsize(os.path.join(dp, f))
+                   for dp, _, fs in os.walk(path) for f in fs)
+
+    assert du(compact["dekad"]) < 0.7 * du(plain["dekad"])
