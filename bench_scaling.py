@@ -151,13 +151,15 @@ def main() -> None:
                                                        "/root/testdata/sf0.1"))
     ap.add_argument("--samples", type=int, default=2,
                     help="samples per parallelism level (interleaved)")
+    ap.add_argument("--rows", type=int, default=None,
+                    help="override row count (amortization studies)")
     args = ap.parse_args()
 
     from modape_spark.entry_queries import sf_of
     from modape_spark.fixtures import n_rows_for_sf
 
     sf = sf_of(args.sf_dir)
-    n_rows = n_rows_for_sf(sf)
+    n_rows = args.rows or n_rows_for_sf(sf)
 
     with StealMeter() as sm:
         t_low, t_high = run_once(args.low, args.high, n_rows, args.samples)

@@ -194,25 +194,33 @@ def tinterpolate_multi(
              for s in stres_list}
     R, k = Z.shape
     idx = np.where(covered)[0]
-    sm = None
+    out = {}
+    tixs = {}
+    for s, g in grids.items():
+        tixs[s] = g.target_ix if nupdate == 0 else g.target_ix[-nupdate:]
+        out[s] = np.full((R, tixs[s].size), float(nodata))
     if idx.size and grids:
         g0 = next(iter(grids.values()))
-        daily = np.full((idx.size, g0.n_daily), float(nodata))
-        Zc = Z[idx]
-        daily[:, g0.scatter_ix[-k:]] = Zc
-        # weights = (daily != nodata): off-scatter positions are nodata by
-        # construction, so only scatter columns can be nonzero — build them
-        # directly instead of comparing the full (R, n_daily) matrix
-        Wd = np.zeros_like(daily)
-        Wd[:, g0.scatter_ix[-k:]] = (Zc != nodata).astype(np.float64)
-        sm = K.ws2d_batch(daily, TINTERPOLATE_LAMBDA, Wd)
-    out = {}
-    for s, g in grids.items():
-        tix = g.target_ix if nupdate == 0 else g.target_ix[-nupdate:]
-        o = np.full((R, tix.size), float(nodata))
-        if sm is not None:
-            o[idx] = sm[:, tix]
-        out[s] = o
+        scat = g0.scatter_ix[-k:]
+        # chunk rows so the (chunk, n_daily) scratch stays ~1 MiB and the
+        # scatter -> weights -> solve -> gather passes reuse L2 instead of
+        # streaming DRAM — at 32 concurrent workers the full-batch matrix
+        # (6 MiB/worker) was the remaining shared-memory contention
+        chunk = max(1, (1 << 20) // (8 * g0.n_daily))
+        daily = np.empty((min(chunk, idx.size), g0.n_daily), dtype=np.float64)
+        for lo in range(0, idx.size, chunk):
+            sel = idx[lo:lo + chunk]
+            d = daily[:sel.size]
+            d.fill(float(nodata))
+            Zc = Z[sel]
+            d[:, scat] = Zc
+            # weights = (daily != nodata): off-scatter positions are nodata
+            # by construction, so only scatter columns can be nonzero
+            Wd = np.zeros_like(d)
+            Wd[:, scat] = (Zc != nodata).astype(np.float64)
+            sm = K.ws2d_batch(d, TINTERPOLATE_LAMBDA, Wd)
+            for s in grids:
+                out[s][sel] = sm[:, tixs[s]]
     return out
 
 
