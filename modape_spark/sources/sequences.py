@@ -50,13 +50,11 @@ def sequences_df(
 ) -> DataFrame:
     """Synthesize the sequences table as a distributed DataFrame."""
     if partitions is None:
-        # kernel-stage sizing: tasks of >= 2048 rows (full Arrow batches for
-        # the vectorized solver), and at most cores/2 concurrent heavy tasks
-        # — beyond ~16 concurrent numpy workers this host's memory system
-        # saturates (measured: 16 procs 2553 rows/s, 32 procs 1377).
         cores = spark.sparkContext.defaultParallelism
         # ~3 task waves per core slot keep the straggler tail short while
-        # tasks stay >= ~1024 rows (full Arrow batches for the solver)
+        # tasks stay >= ~1024 rows — fewer, fuller tasks beat many small
+        # ones here (measured 8.0 s vs 10.7 s at 25k rows: per-task python
+        # feed overhead outweighs the extra parallelism)
         partitions = max(1, min(3 * cores, max(n_rows // 1024, 1)))
     rng = spark.range(start, start + n_rows, 1, partitions)
     return rng.mapInPandas(_gen_partition, SEQUENCES_SCHEMA)
