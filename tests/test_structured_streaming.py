@@ -68,3 +68,79 @@ def test_streaming_available_now_drain(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == got.count()
+
+
+def test_watermarked_tumbling_window_drops_late(spark, tmp_path):
+    """Streaming A5/ST6: watermark + tumbling window; a row arriving
+    beyond the watermark after its window finalized is dropped
+    (collect.py:362-370 reject-late, streaming form)."""
+    import datetime as dt
+
+    from modape_spark.streaming.stateful import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [(i, base + dt.timedelta(hours=h), 1, et, 1.0)
+             for i, (h, et) in enumerate(specs)], EVENTS_SCHEMA)
+
+    # batch 1: two windows' worth + an event far ahead (advances watermark)
+    rows((0, "click"), (1, "click"), (7, "view"), (30, "tick")) \
+        .write.mode("append").parquet(landing)
+    run_available_now(windowed_event_counts(spark, landing), sink, ckpt)
+    # batch 2: a LATE click for the long-finalized first window
+    rows((2, "click")).write.mode("append").parquet(landing)
+    run_available_now(windowed_event_counts(spark, landing), sink, ckpt)
+
+    got = {(r["window_start"].hour, r["event_type"]): r["n"]
+           for r in spark.read.parquet(sink).collect()}
+    # first window finalized with 2 clicks; the late third click dropped
+    assert got[(0, "click")] == 2
+    assert got[(6, "view")] == 1
+    assert (0, "tick") not in got
+
+
+def test_stateful_source_ledger_across_microbatches(spark, tmp_path):
+    """W4/ST4 as applyInPandasWithState: the per-source ledger carries
+    state across micro-batches (second drain resumes from the state
+    store, not from zero)."""
+    from modape_spark.streaming.stateful import (
+        BATCHES_SCHEMA,
+        run_available_now,
+        source_watermark_ledger,
+    )
+
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("d1", "web", 0, 100, 1), ("d2", "web", 0, 40, 1),
+         ("d3", "lab", 0, 10, 1)], BATCHES_SCHEMA) \
+        .write.mode("append").parquet(landing)
+    run_available_now(source_watermark_ledger(spark, landing), sink, ckpt,
+                      output_mode="update")
+    spark.createDataFrame(
+        [("d1", "web", 100, 7, 2)], BATCHES_SCHEMA) \
+        .write.mode("append").parquet(landing)
+    run_available_now(source_watermark_ledger(spark, landing), sink, ckpt,
+                      output_mode="update")
+
+    rows = spark.read.parquet(sink).collect()
+    latest = {}
+    for r in rows:  # last emission per source wins (update mode)
+        if r["source"] not in latest or r["n_batches"] > latest[r["source"]]["n_batches"]:
+            latest[r["source"]] = r
+    web = latest["web"]
+    assert web["max_position"] == 107      # 100 + 7, carried across drains
+    assert web["n_batches"] == 3
+    assert web["n_points"] == 147
+    assert latest["lab"]["max_position"] == 10
