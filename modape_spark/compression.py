@@ -185,6 +185,38 @@ def decode_dod_fast(buf: bytes) -> np.ndarray:
     return out
 
 
+def decode_dod_prefix(buf: bytes, k: int) -> np.ndarray:
+    """Decode only the first ``k`` values of a DoD payload (the stream is
+    sequential, so a position-``k`` export reads k codes, not the whole
+    row — at 10^12 rows that is the difference between touching the
+    retention tail and replaying history)."""
+    import ctypes
+
+    from .ckernel import get_lib
+
+    assert buf[0] == _MAGIC_DOD, "not a dod payload"
+    n = int(np.frombuffer(buf[1:5], dtype=">u4")[0])
+    k = min(int(k), n)
+    out = np.empty(k, dtype=np.int64)
+    if k == 0:
+        return out
+    first = int(np.frombuffer(buf[5:13], dtype=">i8")[0])
+    if k == 1:
+        out[0] = first
+        return out
+    lib = get_lib()
+    if lib is None:
+        return decode_dod(buf)[:k]
+    stream = np.frombuffer(buf, dtype=np.uint8, offset=13)
+    rc = lib.dod_decode_stream(
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        int(stream.size), ctypes.c_longlong(first),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), int(k))
+    if rc != 0:
+        raise ValueError("dod stream overrun (corrupt payload)")
+    return out
+
+
 def encode_gorilla(values: np.ndarray) -> bytes:
     """XOR-encode one float64 array. Header: magic u8, n u32be,
     first value f64be."""

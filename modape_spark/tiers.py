@@ -233,6 +233,38 @@ def export_tier_slice(spark: SparkSession, combined_dir: str, tier: str,
     )
 
 
+def export_compact_slice(spark: SparkSession, tier_dir: str, tier: str,
+                         position: int,
+                         clip_valid: tuple[int, int] | None = None,
+                         nodata: int = NODATA_INT) -> DataFrame:
+    """S9 per-date export DIRECTLY from a compact (dod-only) tier table:
+    decode only the first ``position`` codes per row (sequential stream,
+    C reader), never materializing the full arrays.  Same output contract
+    as export_tier_slice incl. the P3 valid-range clip."""
+    from .compression import decode_dod_prefix
+
+    dod_col = f"{tier}_dod"
+    pos = int(position)
+
+    def _slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = np.empty(len(pdf), dtype=np.int64)
+            for i, b in enumerate(pdf[dod_col]):
+                pre = decode_dod_prefix(bytes(b), pos)
+                vals[i] = pre[pos - 1] if pre.size >= pos else nodata
+            if clip_valid is not None:
+                vmin, vmax = int(clip_valid[0]), int(clip_valid[1])
+                nd = vals == int(nodata)
+                vals = np.clip(vals, vmin, vmax, where=~nd, out=vals)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "source": pdf["source"].to_numpy(),
+                                "value": vals.astype(np.int32)})
+
+    return (spark.read.parquet(tier_dir)
+            .select("doc_id", "source", dod_col)
+            .mapInPandas(_slice, "doc_id string, source string, value int"))
+
+
 def write_tier_tables(
     spark: SparkSession, combined_dir: str, base_dir: str,
     tiers: tuple[str, ...] = ("smoothed", "dekad", "pentad"),

@@ -206,3 +206,30 @@ def test_compact_tier_roundtrip_and_size(spark, tmp_path):
                    for dp, _, fs in os.walk(path) for f in fs)
 
     assert du(compact["dekad"]) < 0.7 * du(plain["dekad"])
+
+
+def test_export_compact_slice_matches_plain(spark, tmp_path):
+    """Per-date export from the compact table (prefix decode) equals the
+    plain-array export at every probe position, clip included."""
+    from modape_spark.tiers import (
+        export_compact_slice,
+        export_tier_slice,
+        materialize_rollup,
+        write_tier_tables,
+    )
+
+    comb = str(tmp_path / "comb")
+    materialize_rollup(sequences_df(spark, 50, partitions=2), comb,
+                       SmoothConfig(soptimize=False, svalue=1.0,
+                                    tempint=(10,)),
+                       n_buckets=4)
+    compact = write_tier_tables(spark, comb, str(tmp_path / "c"),
+                                tiers=("dekad",), compact=True)["dekad"]
+    for pos, clip in ((1, None), (7, None), (3, (0, 120))):
+        want = {r["doc_id"]: r["value"]
+                for r in export_tier_slice(spark, comb, "dekad", pos,
+                                           clip_valid=clip).collect()}
+        got = {r["doc_id"]: r["value"]
+               for r in export_compact_slice(spark, compact, "dekad", pos,
+                                             clip_valid=clip).collect()}
+        assert got == want, (pos, clip)
