@@ -282,13 +282,18 @@ def _ivf_sql(dialect: str) -> str:
             from assigned
             where vec_id < {N_QUERY}
         ),
+        probe_cells as (  -- one row per (query, probed cell): keeps the
+                          -- candidate join a pure EQUI-join on cell id
+            select vec_id, embedding, pc from probes
+            {("lateral view explode(array(cell1, cell2)) t as pc"
+              if dialect == "spark" else ", unnest([cell1, cell2]) as t(pc)")}
+        ),
         cand as (
             select q.vec_id as query_id, c.vec_id as neighbour_id,
                    q.embedding as qe, c.embedding as ce
-            from probes q
+            from probe_cells q
             join assigned c
-              on (c.cell1 = q.cell1 or c.cell1 = q.cell2)
-                 and c.vec_id >= {N_QUERY}
+              on c.cell1 = q.pc and c.vec_id >= {N_QUERY}
         ),
         ranked as (
             select query_id, neighbour_id,
