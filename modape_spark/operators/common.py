@@ -37,11 +37,40 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     except Exception:
         pass
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t in _SPREAD_TABLES:
+            df = _spread(spark, df)
+        df.createOrReplaceTempView(t)
+
+
+# Tables whose per-row compute dwarfs their bytes (shingle explodes,
+# 64-dim folds) AND whose queries aggregate order-independently (integer /
+# min-max / count) — safe and valuable to widen.  Float-sum tables
+# (lineitem) are NOT spread: their oracle equality relies on a stable
+# accumulation order, the same reason their aggregates use fixed-point
+# wherever we control the query text.
+_SPREAD_TABLES = ("documents", "embeddings")
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Widen single-row-group fixture files across the cluster.
+
+    The driver's testdata tables are one parquet row group each, so the
+    scan is ONE task no matter the query cost (measured: the whole sf0.1
+    minhash pipeline on one core).  A round-robin repartition of these
+    tiny tables (<= 1 MB) is a negligible exchange and unlocks full-width
+    compute; deterministic filters and column pruning still push through
+    the Repartition node to the scan.  On a real many-file table the scan
+    already yields >= cores splits and this is a no-op."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(cores, 8):
+        return df
+    return df.repartition(cores)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(spark, df) if name in _SPREAD_TABLES else df
 
 
 # Cross-engine 32-bit string hash: first 8 hex chars of md5 as int64.
