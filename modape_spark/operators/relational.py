@@ -227,35 +227,37 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_tumbling_sql("spark"))
 
 
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style rollup — whole-table metric aggregation (A6)."""
-    register_views(spark, sf_dir)
-    return spark.sql("""
-        select l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) as sum_qty,
-               round(sum(l_extendedprice), 2) as sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-               round(round(sum(l_quantity), 4) / count(*), 4) as avg_qty,
-               count(*) as count_order
-        from lineitem
-        where l_shipdate < timestamp '1998-09-02 00:00:00'
-        group by l_returnflag, l_linestatus
-        order by l_returnflag, l_linestatus
-    """)
-
-
-ORACLE_PRICING = """
+_PRICING_BODY = """
     select l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) as sum_qty,
-           round(sum(l_extendedprice), 2) as sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-           round(round(sum(l_quantity), 4) / count(*), 4) as avg_qty,
+           cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint)
+               as sum_qty_x100,
+           cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+               as sum_base_price_x100,
+           cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                    * cast(round((1 - l_discount) * 100) as bigint))
+                as bigint) as sum_disc_price_x1e4,
+           cast(sum(cast(round(l_quantity * 100) as bigint)) * 100
+                {div} count(*) as bigint) as avg_qty_x1e4,
            count(*) as count_order
     from lineitem
     where l_shipdate < timestamp '1998-09-02 00:00:00'
     group by l_returnflag, l_linestatus
     order by l_returnflag, l_linestatus
 """
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style rollup — whole-table metric aggregation (A6).
+
+    Fixed-point throughout: the 2-decimal money/discount columns are
+    rounded to exact integers per row BEFORE any aggregation, so the sums
+    are identical under ANY partitioning/accumulation order — float sums
+    only matched the oracle while the fixture scan was a single task."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PRICING_BODY.format(div="div"))
+
+
+ORACLE_PRICING = _PRICING_BODY.format(div="//")
 
 
 def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
