@@ -59,8 +59,10 @@ def q_date_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         select event_type,
                count(*) as n,
-               round(sum(value), 2) as sum_value,
-               cast(round(sum(value) * 100) as bigint) * 10 div count(*) as avg_value_milli
+               cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                   as sum_value_x100,
+               cast(sum(cast(round(value * 100) as bigint)) * 10
+                    div count(*) as bigint) as avg_value_milli
         from events
         where ts >= timestamp '2024-01-08 00:00:00'
           and ts <  timestamp '2024-01-15 00:00:00'
@@ -72,8 +74,10 @@ def q_date_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DATE_SLICE = """
     select event_type,
            count(*) as n,
-           round(sum(value), 2) as sum_value,
-           (round(sum(value) * 100)::bigint * 10) // count(*) as avg_value_milli
+           cast(sum(cast(round(value * 100) as bigint)) as bigint)
+               as sum_value_x100,
+           cast(sum(cast(round(value * 100) as bigint)) * 10
+                // count(*) as bigint) as avg_value_milli
     from events
     where ts >= timestamp '2024-01-08 00:00:00'
       and ts <  timestamp '2024-01-15 00:00:00'
@@ -215,7 +219,8 @@ def _tumbling_sql(dialect: str) -> str:
         select event_type,
                cast({bucket} as timestamp) as win_start,
                count(*) as n,
-               round(sum(value), 2) as sum_value
+               cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                   as sum_value_x100
         from events
         group by event_type, win_start
         order by event_type, win_start
@@ -268,8 +273,10 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round((1 - F.col("l_discount")) * 100).cast("long")
+            ).cast("long").alias("revenue_x1e4"),
             F.count("*").alias("n_items"),
         )
     )
@@ -278,10 +285,10 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),
-            "revenue",
+            "revenue_x1e4",
             "n_items",
         )
-        .orderBy(F.desc("revenue"), "suppkey")
+        .orderBy(F.desc("revenue_x1e4"), "suppkey")
         .limit(10)
     )
 
@@ -289,13 +296,15 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOP_SUPPLIERS = """
     with rev as (
         select l_suppkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+               cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                        * cast(round((1 - l_discount) * 100) as bigint))
+                    as bigint) as revenue_x1e4,
                count(*) as n_items
         from lineitem group by l_suppkey
     )
-    select s_suppkey as suppkey, s_name as supp_name, revenue, n_items
+    select s_suppkey as suppkey, s_name as supp_name, revenue_x1e4, n_items
     from rev join supplier on l_suppkey = s_suppkey
-    order by revenue desc, suppkey
+    order by revenue_x1e4 desc, suppkey
     limit 10
 """
 
