@@ -72,14 +72,39 @@ def cmd_smooth(args) -> int:
 
 
 def cmd_window(args) -> int:
-    """modis_window analogue: per-position export of one tier."""
-    from .tiers import export_tier_slice
+    """modis_window analogue: per-position export of one tier.
 
+    --clip-valid VMIN VMAX applies the reference's export-time valid-range
+    clip (window.py:382-384); --compact reads a dod-only compact tier
+    table via the prefix decoder instead of plain arrays."""
     spark = _spark(args)
-    sl = export_tier_slice(spark, args.tiers, args.tier, args.position)
+    clip = tuple(args.clip_valid) if args.clip_valid else None
+    if args.compact:
+        from .tiers import export_compact_slice
+        sl = export_compact_slice(spark, args.tiers, args.tier,
+                                  args.position, clip_valid=clip)
+    else:
+        from .tiers import export_tier_slice
+        sl = export_tier_slice(spark, args.tiers, args.tier, args.position,
+                               clip_valid=clip)
     sl.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"tier": args.tier, "position": args.position,
-                      "rows": sl.count(), "out": args.out}))
+                      "rows": sl.count(), "out": args.out,
+                      "compact": bool(args.compact),
+                      "clip_valid": list(clip) if clip else None}))
+    return 0
+
+
+def cmd_split(args) -> int:
+    """Split the combined rollup into standalone tier tables; --compact
+    keeps only the delta-of-delta payloads (read back with
+    tiers.read_tier_compact / `window --compact`)."""
+    from .tiers import write_tier_tables
+
+    spark = _spark(args)
+    out = write_tier_tables(spark, args.tiers, args.out,
+                            tiers=tuple(args.select), compact=args.compact)
+    print(json.dumps({"tables": out, "compact": bool(args.compact)}))
     return 0
 
 
@@ -145,7 +170,21 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--tier", default="dekad")
     w.add_argument("--position", type=int, required=True)
     w.add_argument("--out", required=True)
+    w.add_argument("--clip-valid", dest="clip_valid", type=int, nargs=2,
+                   default=None, metavar=("VMIN", "VMAX"))
+    w.add_argument("--compact", action="store_true",
+                   help="read a dod-only compact tier table")
     w.set_defaults(fn=cmd_window)
+
+    t = sub.add_parser("split", help="split combined rollup into per-tier "
+                       "tables (retention boundaries differ per tier)")
+    t.add_argument("--tiers", required=True, help="combined rollup dir")
+    t.add_argument("--out", required=True)
+    t.add_argument("--select", nargs="*",
+                   default=["smoothed", "dekad", "pentad"])
+    t.add_argument("--compact", action="store_true",
+                   help="store only the dod payloads (long-retention layout)")
+    t.set_defaults(fn=cmd_split)
 
     i = sub.add_parser("info")
     i.add_argument("--tiers", required=True)

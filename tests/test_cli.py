@@ -73,3 +73,29 @@ def test_spark_submit_pyfiles(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["rows"] == 64
+
+
+def test_cli_split_compact_and_window(tmp_path):
+    """collect -> smooth -> split --compact -> window --compact/--clip-valid
+    end-to-end through the argparse surface; compact export equals plain."""
+    import duckdb
+
+    from modape_spark.cli import main
+
+    raw, tiers = str(tmp_path / "raw"), str(tmp_path / "tiers")
+    split, exp, exp2 = (str(tmp_path / p) for p in ("split", "e1", "e2"))
+    assert main(["collect", "--n-rows", "40", "--out", raw]) == 0
+    assert main(["smooth", "--raw", raw, "--out", tiers,
+                 "--svalue", "1.0", "--tempint", "10", "--buckets", "4"]) == 0
+    assert main(["split", "--tiers", tiers, "--out", split,
+                 "--select", "dekad", "--compact"]) == 0
+    assert main(["window", "--tiers", f"{split}/dekad", "--tier", "dekad",
+                 "--position", "2", "--out", exp, "--compact",
+                 "--clip-valid", "0", "150"]) == 0
+    assert main(["window", "--tiers", tiers, "--tier", "dekad",
+                 "--position", "2", "--out", exp2,
+                 "--clip-valid", "0", "150"]) == 0
+    con = duckdb.connect()
+    a = dict(con.execute(f"select doc_id, value from '{exp}/*.parquet'").fetchall())
+    b = dict(con.execute(f"select doc_id, value from '{exp2}/*.parquet'").fetchall())
+    assert a == b and len(a) == 40
