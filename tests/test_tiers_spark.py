@@ -233,3 +233,35 @@ def test_export_compact_slice_matches_plain(spark, tmp_path):
                for r in export_compact_slice(spark, compact, "dekad", pos,
                                              clip_valid=clip).collect()}
         assert got == want, (pos, clip)
+
+
+def test_bucket_filter_prunes_partitioned_input(spark, tmp_path):
+    """Resume over a bucket-partitioned raw table prunes partition dirs at
+    the scan (PartitionFilters) AND produces the identical tier rows as
+    the hash-recompute path over unpartitioned input."""
+    from pyspark.sql import functions as F
+
+    from modape_spark.tiers import materialize_rollup, with_bucket
+
+    raw_flat = str(tmp_path / "flat")
+    raw_bkt = str(tmp_path / "bkt")
+    df = sequences_df(spark, 60, partitions=2)
+    df.write.parquet(raw_flat)
+    with_bucket(df, 4).write.partitionBy("bucket").parquet(raw_bkt)
+
+    cfg = SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,))
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    materialize_rollup(spark.read.parquet(raw_flat), out_a, cfg,
+                       n_buckets=4, bucket_filter=[1, 3])
+    materialize_rollup(spark.read.parquet(raw_bkt), out_b, cfg,
+                       n_buckets=4, bucket_filter=[1, 3])
+    rows_a = {r["doc_id"]: list(r["dekad"])
+              for r in spark.read.parquet(out_a).collect()}
+    rows_b = {r["doc_id"]: list(r["dekad"])
+              for r in spark.read.parquet(out_b).collect()}
+    assert rows_a == rows_b and rows_a
+
+    # the partitioned path must prune at the scan
+    pruned = spark.read.parquet(raw_bkt).filter(F.col("bucket").isin([1, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
