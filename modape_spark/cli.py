@@ -50,6 +50,17 @@ def cmd_smooth(args) -> int:
 
     spark = _spark(args)
     raw = spark.read.parquet(args.raw)
+    axis = {"rtres": args.rtres, "tshift": args.tshift}
+    if args.product:
+        from .constants import temporal_params
+        resolved = temporal_params(args.product)
+        # explicit flags win over the product table
+        axis = {
+            "rtres": args.rtres if args.rtres != RTRES else resolved["rtres"],
+            "tshift": (args.tshift if args.tshift != TSHIFT
+                       else resolved["tshift"]),
+            "epoch": resolved["epoch"],
+        }
     cfg = SmoothConfig(
         soptimize=args.soptimize or args.svalue is None,
         svalue=args.svalue,
@@ -57,9 +68,8 @@ def cmd_smooth(args) -> int:
         tempint=tuple(args.tempint),
         nsmooth=args.nsmooth,
         nupdate=args.nupdate,
-        rtres=args.rtres,
-        tshift=args.tshift,
         tempint_start=args.tempint_start,
+        **axis,
     )
     if args.lineage:
         metrics = run_with_checkpoints(spark, raw, args.out, args.lineage,
@@ -161,6 +171,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tempint-start", dest="tempint_start", default=None)
     s.add_argument("--tshift", type=int, default=TSHIFT)
     s.add_argument("--rtres", type=int, default=RTRES)
+    s.add_argument("--product", default=None,
+                   help="resolve rtres/tshift/epoch from the per-product "
+                        "table (reference TEMPORAL_DICT), e.g. MOD11A2")
     s.add_argument("--buckets", type=int, default=32)
     s.add_argument("--lineage", default=None)
     s.set_defaults(fn=cmd_smooth)

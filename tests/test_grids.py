@@ -177,3 +177,22 @@ def test_rollup_non_default_tshift_rowwise_oracle():
                                 SmoothConfig(soptimize=False, svalue=1.0,
                                              tempint=(10,), tshift=8))
     assert not np.array_equal(res.interp[10][0], res8.interp[10][0])
+
+
+def test_temporal_params_product_table():
+    """Per-product axis resolution (reference constants.py TEMPORAL_DICT)."""
+    from modape_spark.constants import temporal_params
+    from modape_spark.grids import grid_for_length
+
+    assert temporal_params("MXD13A2") == {"rtres": 8, "tshift": 8,
+                                          "epoch": "2002185"}
+    assert temporal_params("MOD11A2")["tshift"] == 4
+    mod13 = temporal_params("MOD13A2")
+    assert mod13["rtres"] == 16
+    # the resolved params must produce a buildable grid
+    g = grid_for_length(30, 10, mod13["rtres"], mod13["tshift"],
+                        mod13["epoch"])
+    assert g.n_daily > 16 * 29
+    # unknown product -> engine defaults
+    assert temporal_params("XYZ99") == {"rtres": 8, "tshift": 8,
+                                        "epoch": "2002185"}
