@@ -50,3 +50,19 @@ def ingest_reclass(df: DataFrame, value_range: tuple[int, int],
     nodata, values clamped out-of-range -> nodata (NOT clipped — the
     reference clips only at export, P3)."""
     return df.withColumn(col, reclass_expr(col, value_range, nodata_values))
+
+
+def reclass_for_product(df: DataFrame, product_sds: str,
+                        col: str = "tokens") -> DataFrame:
+    """Reclass using the product's published encoding (constants.PRODUCT_SDS,
+    mirroring the reference's PRODUCT_SDS_DICT lookup at collect time)."""
+    from ..constants import PRODUCT_SDS
+
+    try:
+        enc = PRODUCT_SDS[product_sds]
+    except KeyError:
+        raise KeyError(
+            f"unknown product subdataset {product_sds!r}; known: "
+            f"{sorted(PRODUCT_SDS)}"
+        ) from None
+    return ingest_reclass(df, enc["value_range"], enc["nodata_values"], col)

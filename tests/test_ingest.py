@@ -36,3 +36,16 @@ def test_reclass_is_pure_catalyst(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_reclass_for_product(spark):
+    from modape_spark.sources.ingest import reclass_for_product
+
+    df = spark.createDataFrame(
+        [("a", [5, -15000, -13000, 10001, -10000])],
+        "doc_id string, tokens array<int>",
+    )
+    out = reclass_for_product(df, "VNP13A2_NDVI").collect()[0]
+    assert out["tokens"] == [5, -15000, -15000, -15000, -10000]
+    with pytest.raises(KeyError, match="unknown product"):
+        reclass_for_product(df, "NOPE")
