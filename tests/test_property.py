@@ -72,3 +72,19 @@ def test_gap_fill_idempotent_on_full_weights(seed):
     w = np.ones(30)
     z_small = K.ws2d_batch(y[None, :], 1e-9, w[None, :])[0]
     assert np.allclose(z_small, y, atol=1e-3)
+
+
+@given(st.lists(st.integers(-30000, 30000), min_size=0, max_size=300),
+       st.integers(0, 400))
+@settings(max_examples=60, deadline=None)
+def test_dod_fast_and_prefix_property(vals, k):
+    """The C bit reader equals the python reader on arbitrary int arrays,
+    and prefix(k) == full[:k] for any k (clamped past the end)."""
+    from modape_spark.compression import decode_dod_fast, decode_dod_prefix
+
+    v = np.asarray(vals, dtype=np.int64)
+    b = encode_dod(v)
+    full = decode_dod(b)
+    assert np.array_equal(full, v)
+    assert np.array_equal(decode_dod_fast(b), v)
+    assert np.array_equal(decode_dod_prefix(b, k), v[:min(k, v.size)])
