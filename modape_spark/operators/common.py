@@ -84,8 +84,21 @@ def h32_duck(col: str) -> str:
 
 # 3-word shingles of lowercase whitespace-tokenized text (dedup papers'
 # standard w-shingling, Broder 1997), distinct per doc.
-def shingles_spark(text_col: str = "text") -> str:
-    w = f"split(lower({text_col}), ' ')"
+#
+# The shingle expressions operate on a PRE-MATERIALIZED words array column
+# (WORDS_CTE below): inlining split(lower(text)) inside the lambda made
+# Spark's interpreted HOF re-evaluate the full split per element access —
+# O(words^2) per document, measured 6.4x slower on the sf0.1 corpus.
+
+
+def words_cte(dialect: str) -> str:
+    """doc_id, w (lowercased whitespace tokens) — materialize ONCE."""
+    if dialect == "spark":
+        return "select doc_id, split(lower(text), ' ') as w from documents"
+    return "select doc_id, string_split(lower(text), ' ') as w from documents"
+
+
+def shingles_spark(w: str = "w") -> str:
     return (
         f"array_distinct(case when size({w}) >= 3 then "
         f"transform(sequence(0, size({w}) - 3), "
@@ -94,8 +107,7 @@ def shingles_spark(text_col: str = "text") -> str:
     )
 
 
-def shingles_duck(text_col: str = "text") -> str:
-    w = f"string_split(lower({text_col}), ' ')"
+def shingles_duck(w: str = "w") -> str:
     return (
         f"list_distinct(list_transform(generate_series(1, greatest(len({w}) - 2, 0)), "
         f"i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"

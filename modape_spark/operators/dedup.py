@@ -30,6 +30,7 @@ from .common import (
     register_views,
     shingles_duck,
     shingles_spark,
+    words_cte,
 )
 
 JACCARD_THRESHOLD = 0.2
@@ -103,19 +104,20 @@ def _bands_cte(mh_expr: str, dialect: str) -> str:
         )
         arr = ", ".join(f"m{j}" for j in range(N_MINHASH))
         return f"""
+            words as ({words_cte("spark")}),
             exploded as (
                 select doc_id, s.h as h
                 from (
                     select doc_id,
                            transform({shingles_spark()}, s -> {h32_spark('s')} % {P31}) as hs
-                    from documents
-                    where size(split(text, ' ')) >= 3
+                    from words
+                    where size(w) >= 3
                 ) lateral view explode(hs) s as h
             ),
             mins as (select doc_id, {mins} from exploded group by doc_id),
             sigs as (select doc_id, array({arr}) as mh from mins),
             bands as (
-                select doc_id, band, {fold} as band_hash
+                select doc_id, mh, band, {fold} as band_hash
                 from sigs lateral view explode(sequence(0, {N_BANDS - 1})) t as band
             )
         """
@@ -124,40 +126,47 @@ def _bands_cte(mh_expr: str, dialect: str) -> str:
         f"band * {BAND_ROWS} + {BAND_ROWS}]), (acc, v) -> (acc * 31 + v) % {P31})"
     )
     return f"""
+        words as ({words_cte("duck")}),
         hashed as (
             select doc_id,
                    list_transform({shingles_duck()}, s -> {h32_duck('s')} % {P31}) as hs
-            from documents
-            where len(string_split(text, ' ')) >= 3
+            from words
+            where len(w) >= 3
         ),
         sigs as (select doc_id, {mh_expr} as mh from hashed),
         bands as (
-            select doc_id, band, {fold} as band_hash
+            select doc_id, mh, band, {fold} as band_hash
             from sigs, (select unnest(generate_series(0, {N_BANDS - 1})) as band)
         )
     """
 
 
 def _minhash_pairs_sql(dialect: str) -> str:
+    """Spark inlines CTEs per reference, so joining ``sigs`` back onto the
+    candidates re-ran the whole shingle->hash->min pipeline twice more
+    (4 scans total in the round-1 plan, zero ReusedExchange).  Carrying
+    ``mh`` through the band rows and deduping with group-by + first()
+    halves the pipeline executions and drops the distinct+2 joins."""
     mh = _minhash_sql_spark() if dialect == "spark" else _minhash_sql_duck()
     bands = _bands_cte(mh, dialect)
-    mh_join = "join sigs a on a.doc_id = p.da join sigs b on b.doc_id = p.db"
     if dialect == "spark":
-        n_eq = f"size(filter(sequence(0, {N_MINHASH - 1}), i -> a.mh[i] = b.mh[i]))"
+        n_eq = f"size(filter(sequence(0, {N_MINHASH - 1}), i -> mha[i] = mhb[i]))"
     else:
-        n_eq = f"len(list_filter(generate_series(1, {N_MINHASH}), i -> a.mh[i] = b.mh[i]))"
+        n_eq = f"len(list_filter(generate_series(1, {N_MINHASH}), i -> mha[i] = mhb[i]))"
     return f"""
         with {bands},
         cand as (
-            select distinct x.doc_id as da, y.doc_id as db
+            select x.doc_id as da, y.doc_id as db,
+                   first(x.mh) as mha, first(y.mh) as mhb
             from bands x join bands y
               on x.band = y.band and x.band_hash = y.band_hash
              and x.doc_id < y.doc_id
+            group by x.doc_id, y.doc_id
         )
-        select p.da as doc_a, p.db as doc_b,
+        select da as doc_a, db as doc_b,
                {n_eq} as n_equal_minhash,
                {n_eq} * {10000 // N_MINHASH} as est_jaccard_e4
-        from cand p {mh_join}
+        from cand
         order by doc_a, doc_b
     """
 
@@ -168,23 +177,28 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql(dialect: str) -> str:
-    """16-bit SimHash (Charikar 2002) per document from shingle hashes."""
+    """16-bit SimHash (Charikar 2002) per document from shingle hashes.
+
+    Words materialized once (see common.words_cte) and the per-shingle md5
+    computed ONCE in the explode — not 16x inside the bit sums."""
     if dialect == "spark":
-        sh, h = shingles_spark(), h32_spark("s.col")
-        explode = f"select doc_id, s.col as sh_h from (select doc_id, {sh} as shs from documents) lateral view explode(shs) s as col"
-        hval = h32_spark("sh_h")
-    else:
-        sh = shingles_duck()
-        explode = f"select doc_id, unnest({sh}) as sh_h from documents"
-        hval = h32_duck("sh_h")
-    if dialect == "spark":
+        explode = (
+            f"select doc_id, {h32_spark('s.col')} as hv from "
+            f"(select doc_id, {shingles_spark()} as shs "
+            f"from ({words_cte('spark')})) lateral view explode(shs) s as col"
+        )
         bit_sums = ", ".join(
-            f"sum(case when shiftright({hval}, {k}) % 2 = 1 then 1 else -1 end) as b{k}"
+            f"sum(case when shiftright(hv, {k}) % 2 = 1 then 1 else -1 end) as b{k}"
             for k in range(16)
         )
     else:
+        explode = (
+            f"select doc_id, {h32_duck('sh_h')} as hv from "
+            f"(select doc_id, unnest({shingles_duck()}) as sh_h "
+            f"from ({words_cte('duck')}))"
+        )
         bit_sums = ", ".join(
-            f"sum(case when ({hval} >> {k}) % 2 = 1 then 1 else -1 end) as b{k}"
+            f"sum(case when (hv >> {k}) % 2 = 1 then 1 else -1 end) as b{k}"
             for k in range(16)
         )
     fp = " + ".join(f"(case when b{k} > 0 then {1 << k} else 0 end)" for k in range(16))
@@ -254,14 +268,16 @@ def _jaccard_sql(dialect: str) -> str:
     div = ("c * 10000 div (ca.n + cb.n - c)" if dialect == "spark"
            else "c * 10000 // (ca.n + cb.n - c)")
     if dialect == "spark":
-        sh = shingles_spark()
         explode = (
-            f"select doc_id, s.col as sh from (select doc_id, {sh} as shs "
-            f"from documents) lateral view explode(shs) s as col"
+            f"select doc_id, s.col as sh from (select doc_id, "
+            f"{shingles_spark()} as shs from ({words_cte('spark')})) "
+            f"lateral view explode(shs) s as col"
         )
     else:
-        sh = shingles_duck()
-        explode = f"select doc_id, unnest({sh}) as sh from documents"
+        explode = (
+            f"select doc_id, unnest({shingles_duck()}) as sh "
+            f"from ({words_cte('duck')})"
+        )
     return f"""
         with shingled as ({explode}),
         counts as (select doc_id, count(*) as n from shingled group by doc_id),
