@@ -264,9 +264,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_sql(dialect: str) -> str:
-    # exact integer fixed-point: no float rounding-mode divergence
-    div = ("c * 10000 div (ca.n + cb.n - c)" if dialect == "spark"
-           else "c * 10000 // (ca.n + cb.n - c)")
+    """Per-doc shingle counts ride the posting-list rows (window count)
+    instead of a separate counts CTE — joining counts back re-ran the
+    whole explode pipeline twice more under Spark's per-reference CTE
+    inlining (4 scans -> 2).  Integer fixed-point throughout: no float
+    rounding-mode divergence."""
+    div = ("c * 10000 div (na + nb - c)" if dialect == "spark"
+           else "c * 10000 // (na + nb - c)")
     if dialect == "spark":
         explode = (
             f"select doc_id, s.col as sh from (select doc_id, "
@@ -280,21 +284,24 @@ def _jaccard_sql(dialect: str) -> str:
         )
     return f"""
         with shingled as ({explode}),
-        counts as (select doc_id, count(*) as n from shingled group by doc_id),
+        sh_n as (
+            select doc_id, sh,
+                   count(*) over (partition by doc_id) as n
+            from shingled
+        ),
         common as (
-            select a.doc_id as da, b.doc_id as db, count(*) as c
-            from shingled a join shingled b
+            select a.doc_id as da, b.doc_id as db, count(*) as c,
+                   first(a.n) as na, first(b.n) as nb
+            from sh_n a join sh_n b
               on a.sh = b.sh and a.doc_id < b.doc_id
             group by a.doc_id, b.doc_id
         )
         select da as doc_a, db as doc_b,
                c as n_common,
-               (ca.n + cb.n - c) as n_union,
+               (na + nb - c) as n_union,
                {div} as jaccard_e4
         from common
-        join counts ca on ca.doc_id = da
-        join counts cb on cb.doc_id = db
-        where 5 * c >= (ca.n + cb.n - c)   -- jaccard >= 0.2, exact integers
+        where 5 * c >= (na + nb - c)   -- jaccard >= 0.2, exact integers
         order by doc_a, doc_b
     """
 
