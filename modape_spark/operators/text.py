@@ -71,12 +71,16 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     return spark.sql(f"""
-        with scored as (
-            select doc_id, source,
-                   size(split(text, ' ')) as wc,
-                   n_chars,
-                   size(filter(split(lower(text), ' '), x -> x in ({stop}))) as stop_hits
+        with words as (
+            select doc_id, source, n_chars, split(lower(text), ' ') as w
             from documents
+        ),
+        scored as (
+            select doc_id, source,
+                   size(w) as wc,
+                   n_chars,
+                   size(filter(w, x -> x in ({stop}))) as stop_hits
+            from words
         ),
         q as (
             select source,
@@ -116,8 +120,9 @@ ORACLE_QUALITY = f"""
 
 
 def _langid_case(dialect: str) -> str:
-    w = "split(lower(text), ' ')" if dialect == "spark" else "string_split(lower(text), ' ')"
-    hits = {L: _stop_hits(w, m, dialect) for L, m in LANG_MARKERS.items()}
+    # operates on a pre-materialized words column `w` — 20 inline splits
+    # (4 languages x 5 markers under interpreted HOFs) otherwise
+    hits = {L: _stop_hits("w", m, dialect) for L, m in LANG_MARKERS.items()}
     # argmax with deterministic tie-break order en > es > de > fr > unknown
     return f"""
         case when {hits['en']} >= {hits['es']} and {hits['en']} >= {hits['de']}
@@ -133,16 +138,22 @@ def _langid_case(dialect: str) -> str:
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(f"""
+        with words as (
+            select lang, split(lower(text), ' ') as w from documents
+        )
         select {_langid_case('spark')} as lang_pred, lang, count(*) as n
-        from documents
+        from words
         group by lang_pred, lang
         order by lang_pred, lang
     """)
 
 
 ORACLE_LANGID = f"""
+    with words as (
+        select lang, string_split(lower(text), ' ') as w from documents
+    )
     select {_langid_case('duck')} as lang_pred, lang, count(*) as n
-    from documents
+    from words
     group by lang_pred, lang
     order by lang_pred, lang
 """
