@@ -107,6 +107,11 @@ def main() -> None:
     timings["tier_all_materialize"] = min(a["seconds"] for a in attempts)
     headline_sec = timings["tier_all_materialize"]
 
+    # cool-down (untimed): the host replenishes its burst budget on a
+    # ~minute scale; without this the queries AFTER the heavy headline
+    # read 2-6x their idle-host numbers (BENCH/BASELINE.md methodology)
+    time.sleep(45)
+
     # secondary tier queries run on a quarter-size slice (breadth checks;
     # the headline already covers the full SF) — reported as *_q25
     import modape_spark.entry_queries as EQ
@@ -122,6 +127,7 @@ def main() -> None:
               .parquet(f"{tmp}/incr"))
     finally:
         EQ.n_rows_for_sf = saved
+    time.sleep(30)  # cool-down (untimed), see above
     timed("docs_minhash_lsh", lambda: q_minhash_lsh(spark, sf_dir).count())
     timed("emb_knn_brute", lambda: q_knn_brute(spark, sf_dir).count())
     timed("events_sessionize", lambda: q_sessionize(spark, sf_dir).count())
