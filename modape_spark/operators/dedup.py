@@ -219,7 +219,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_HAMMING_MAX = 3
 
 
-def _simhash_pairs_sql(dialect: str) -> str:
+def _simhash_pairs_sql(dialect: str, hmax: int = _SIMHASH_HAMMING_MAX) -> str:
     """Near-duplicate pairs by SimHash hamming distance <= 3 (bit_count of
     the XOR — both engines provide bit_count natively).
 
@@ -253,7 +253,7 @@ def _simhash_pairs_sql(dialect: str) -> str:
         )
         select doc_a, doc_b, {ham} as hamming
         from cand
-        where {ham} <= {_SIMHASH_HAMMING_MAX}
+        where {ham} <= {hmax}
         order by doc_a, doc_b
     """
 
@@ -352,8 +352,74 @@ def q_dedup_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_cross_check_sql("spark"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER formation: connected components over the
+    SimHash pair graph — the step a real dedup pipeline needs after pair
+    generation (keep min doc_id per component as the representative).
+
+    Iterative min-label propagation on DataFrames: each round every node
+    takes the min label among itself and its neighbours; converges in
+    O(component diameter) rounds.  Per-round lineage is cut with
+    localCheckpoint.  At 10^12 edges the same loop runs with the
+    large-star/small-star optimization (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014); plain propagation is
+    the faithful small-diameter form and the oracle semantics."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(_simhash_pairs_sql("spark", hmax=1)) \
+        .select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).distinct().localCheckpoint()
+    labels = (edges.select(F.col("doc_a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(30):
+        neigh = (edges.join(labels, edges.doc_a == labels.node)
+                 .groupBy(F.col("doc_b").alias("nnode"))
+                 .agg(F.min("label").alias("nl")))
+        new = (labels.join(neigh, labels.node == neigh.nnode, "left")
+               .select(labels.node,
+                       F.least(labels.label,
+                               F.coalesce(neigh.nl, labels.label))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter("n.label != o.label").limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("label").alias("cluster_rep"))
+            .orderBy("doc_id"))
+
+
+# min reachable doc_id per node == min-label fixpoint (recursive CTE)
+def _clusters_oracle() -> str:
+    pairs = _simhash_pairs_sql("duck", hmax=1)
+    return f"""
+        with recursive pairs as ({pairs}),
+        edges as (
+            select doc_a as a, doc_b as b from pairs
+            union
+            select doc_b as a, doc_a as b from pairs
+        ),
+        reach(node, root) as (
+            select a, a from (select distinct a from edges)
+            union
+            select e.b, r.root from reach r join edges e on e.a = r.node
+        )
+        select node as doc_id, min(root) as cluster_rep
+        from reach
+        group by node
+        order by doc_id
+    """
+
+
 QUERIES = {
     "docs_exact_dedup": q_exact_dedup,
+    "docs_dedup_clusters": q_dedup_clusters,
     "dedup_cross_check": q_dedup_cross_check,
     "docs_minhash_lsh": q_minhash_lsh,
     "docs_simhash": q_simhash,
@@ -363,6 +429,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_exact_dedup": ORACLE_EXACT_DEDUP,
+    "docs_dedup_clusters": _clusters_oracle(),
     "dedup_cross_check": _cross_check_sql("duck"),
     "docs_minhash_lsh": _minhash_pairs_sql("duck"),
     "docs_simhash": _simhash_sql("duck"),
