@@ -127,8 +127,19 @@ def q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_incremental_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2E forward step (tests/test_cli.py:646-658 shape): split the last 2
-    tokens off as an update batch, append, run nsmooth=16/nupdate=1."""
-    full = _raw(spark, sf_dir)
+    tokens off as an update batch, append, run nsmooth=16/nupdate=1.
+
+    The synthetic source is PERSISTED before the split: append validation
+    (one agg + one batch count, incremental.py:99-109) plus the final
+    kernel pass are three actions over the same lineage, and without the
+    cache each one regenerated the tokens from scratch (mapInPandas
+    source) — measured 22.1 s vs 7.0 s at sf0.1/4 in the round-2 driver
+    bench.  On a real deployment the source is a stored table and this is
+    a non-issue; the cache is the local-synthesis analogue of that table.
+    """
+    full = _raw(spark, sf_dir).persist()
+    full.count()  # eager: validate's broadcast job + agg job otherwise race
+    # to build the cache and each regenerates its partitions
     init = (
         full.withColumn("tokens_full", F.col("tokens"))
         .withColumn("tokens", F.expr("slice(tokens, 1, n_tok - 2)"))
