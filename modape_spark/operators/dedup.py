@@ -357,39 +357,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash pair graph — the step a real dedup pipeline needs after pair
     generation (keep min doc_id per component as the representative).
 
-    Iterative min-label propagation on DataFrames: each round every node
-    takes the min label among itself and its neighbours; converges in
-    O(component diameter) rounds.  Per-round lineage is cut with
-    localCheckpoint.  At 10^12 edges the same loop runs with the
-    large-star/small-star optimization (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC 2014); plain propagation is
-    the faithful small-diameter form and the oracle semantics."""
+    Cluster labels come from the alternating large-star/small-star
+    algorithm (operators/components.py, Kiveris et al. SoCC 2014):
+    O(log n) rounds on any graph — including the long-chain components
+    where plain min-label propagation needs O(diameter) full-edge
+    shuffles — with convergence checked every k rounds by a single
+    signature aggregation, never a per-round join + count."""
     from pyspark.sql import functions as F
+
+    from .components import connected_components
 
     register_views(spark, sf_dir)
     pairs = spark.sql(_simhash_pairs_sql("spark", hmax=1)) \
         .select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).distinct().localCheckpoint()
-    labels = (edges.select(F.col("doc_a").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
-    for _ in range(30):
-        neigh = (edges.join(labels, edges.doc_a == labels.node)
-                 .groupBy(F.col("doc_b").alias("nnode"))
-                 .agg(F.min("label").alias("nl")))
-        new = (labels.join(neigh, labels.node == neigh.nnode, "left")
-               .select(labels.node,
-                       F.least(labels.label,
-                               F.coalesce(neigh.nl, labels.label))
-                       .alias("label"))
-               .localCheckpoint())
-        changed = (new.alias("n").join(labels.alias("o"), "node")
-                   .filter("n.label != o.label").limit(1).count())
-        labels = new
-        if changed == 0:
-            break
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
     return (labels.select(F.col("node").alias("doc_id"),
                           F.col("label").alias("cluster_rep"))
             .orderBy("doc_id"))
