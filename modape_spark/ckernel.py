@@ -116,12 +116,16 @@ void envelope_rows(const double* Y, const double* lam, const double* W,
 /* --- delta-of-delta bitstream decoder (compression.py format) ---------
    Buckets: '0' | '10'+7b(-63) | '110'+9b(-255) | '1110'+12b(-2047) |
    '11110'+36b zigzag.  Mirrors compression.decode_dod bit-for-bit; the
-   read path of the compact tier tables.  Returns 0 ok, -1 on overrun. */
-static long long rd_bits(const unsigned char* buf, long* pos, int nb)
+   read path of the compact tier tables.  Returns 0 ok, -1 on overrun.
+   rd_bits is bounded by nbits: positions past the buffer read as 0 and
+   never index it, so a corrupt/truncated payload cannot over-read the
+   heap mid-code — the post-code pos > nbits check then reports -1. */
+static long long rd_bits(const unsigned char* buf, long* pos, int nb,
+                         long nbits)
 {
     long long v = 0; long p = *pos; int k;
     for (k = 0; k < nb; k++) {
-        v = (v << 1) | ((buf[p >> 3] >> (7 - (p & 7))) & 1);
+        v = (v << 1) | (p < nbits ? ((buf[p >> 3] >> (7 - (p & 7))) & 1) : 0);
         p++;
     }
     *pos = p; return v;
@@ -135,13 +139,13 @@ long dod_decode_stream(const unsigned char* buf, long nbytes,
     out[0] = first;
     for (i = 1; i < n; i++) {
         if (pos >= nbits) return -1;
-        if (rd_bits(buf, &pos, 1) == 0) dod = 0;
-        else if (rd_bits(buf, &pos, 1) == 0) dod = rd_bits(buf, &pos, 7) - 63;
-        else if (rd_bits(buf, &pos, 1) == 0) dod = rd_bits(buf, &pos, 9) - 255;
-        else if (rd_bits(buf, &pos, 1) == 0) dod = rd_bits(buf, &pos, 12) - 2047;
+        if (rd_bits(buf, &pos, 1, nbits) == 0) dod = 0;
+        else if (rd_bits(buf, &pos, 1, nbits) == 0) dod = rd_bits(buf, &pos, 7, nbits) - 63;
+        else if (rd_bits(buf, &pos, 1, nbits) == 0) dod = rd_bits(buf, &pos, 9, nbits) - 255;
+        else if (rd_bits(buf, &pos, 1, nbits) == 0) dod = rd_bits(buf, &pos, 12, nbits) - 2047;
         else {
-            rd_bits(buf, &pos, 1);           /* trailing 0 of '11110' */
-            u = rd_bits(buf, &pos, 36);
+            rd_bits(buf, &pos, 1, nbits);    /* trailing 0 of '11110' */
+            u = rd_bits(buf, &pos, 36, nbits);
             dod = (u >> 1) ^ -(u & 1);       /* unzigzag */
         }
         if (pos > nbits) return -1;

@@ -229,6 +229,11 @@ def _simhash_pairs_sql(dialect: str, hmax: int = _SIMHASH_HAMMING_MAX) -> str:
     the qualifying pairs — shuffle is bounded by band-bucket collisions,
     never the O(n^2) cross product.  The exact hamming filter then makes
     the output identical to the all-pairs formulation."""
+    if hmax > N_BANDS - 1:
+        raise ValueError(
+            f"hmax={hmax}: the {N_BANDS}-band pigeonhole candidate join is "
+            f"a guaranteed superset only for hamming <= {N_BANDS - 1}"
+        )
     inner = _simhash_sql(dialect).replace("order by doc_id", "")
     if dialect == "spark":
         ham = "bit_count(sha ^ shb)"

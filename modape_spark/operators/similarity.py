@@ -102,7 +102,9 @@ def _cell_exprs(dialect: str, emb: str) -> list[str]:
             else f"sqrt({_dot_duck(emb, emb)})")
     out = []
     for plane in _unit_planes(N_GRID_DIMS):
-        lits = ", ".join(repr(v) for v in plane)
+        # repr(float(v)): numpy >= 2.0 reprs scalars as 'np.float64(x)',
+        # which is invalid SQL — force plain Python floats
+        lits = ", ".join(repr(float(v)) for v in plane)
         if dialect == "spark":
             dot = (f"aggregate(zip_with({emb}, array({lits}), "
                    f"(x, y) -> cast(x as double) * y), cast(0.0 as double), "
@@ -112,7 +114,8 @@ def _cell_exprs(dialect: str, emb: str) -> list[str]:
                    f"list_transform(generate_series(1, {DIM}), "
                    f"i -> {emb}[i]::double * ([{lits}])[i])), "
                    f"(acc, v) -> acc + v)")
-        out.append(f"cast(floor(({dot} / {norm}) / {GRID_R!r}) as bigint)")
+        out.append(
+            f"cast(floor(({dot} / {norm}) / {float(GRID_R)!r}) as bigint)")
     return out
 
 
@@ -176,7 +179,7 @@ def _bucket_expr(dialect: str, emb: str) -> str:
     planes = _planes()
     bits = []
     for pi, plane in enumerate(planes):
-        lits = ", ".join(f"{v}" for v in plane)
+        lits = ", ".join(repr(float(v)) for v in plane)
         if dialect == "spark":
             dot = (
                 f"aggregate(zip_with({emb}, array({lits}), "
@@ -222,7 +225,7 @@ def _centroid_scores(dialect: str, emb: str) -> str:
     """array of <emb . centroid_k> doubles, identical fold both engines."""
     dots = []
     for c in _centroids():
-        lits = ", ".join(repr(v) for v in c)
+        lits = ", ".join(repr(float(v)) for v in c)  # plain-float literals
         if dialect == "spark":
             dots.append(
                 f"aggregate(zip_with({emb}, array({lits}), "

@@ -230,9 +230,12 @@ def export_tier_slice(spark: SparkSession, combined_dir: str, tier: str,
 
     ``clip_valid=(vmin, vmax)`` applies the reference's export-time
     valid-range clip (P3, window.py:382-384: ``np.clip(arr, vmin, vmax,
-    where=arr != nodata)``) — nodata sentinels pass through unclipped."""
+    where=arr != nodata)``) — nodata sentinels pass through unclipped.
+
+    Positions past the stored array yield NULL (try_element_at — stable
+    under ANSI mode; export_compact_slice honours the same contract)."""
     col = tier if tier in ("dekad", "pentad") else "smoothed"
-    value = F.element_at(col, int(position))
+    value = F.try_element_at(col, F.lit(int(position)))
     if clip_valid is not None:
         vmin, vmax = int(clip_valid[0]), int(clip_valid[1])
         value = F.when(value == int(nodata), value).otherwise(
@@ -251,7 +254,9 @@ def export_compact_slice(spark: SparkSession, tier_dir: str, tier: str,
     """S9 per-date export DIRECTLY from a compact (dod-only) tier table:
     decode only the first ``position`` codes per row (sequential stream,
     C reader), never materializing the full arrays.  Same output contract
-    as export_tier_slice incl. the P3 valid-range clip."""
+    as export_tier_slice incl. the P3 valid-range clip and NULL for
+    positions past the stored array.  A NULL payload (table written with
+    compress=False) is a caller error and raises with a clear message."""
     from .compression import decode_dod_prefix
 
     dod_col = f"{tier}_dod"
@@ -259,17 +264,24 @@ def export_compact_slice(spark: SparkSession, tier_dir: str, tier: str,
 
     def _slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vals = np.empty(len(pdf), dtype=np.int64)
+            vals = np.empty(len(pdf), dtype=object)
             for i, b in enumerate(pdf[dod_col]):
+                if b is None:
+                    raise ValueError(
+                        f"null {dod_col} payload: the tier table was "
+                        "written with compress=False — use "
+                        "export_tier_slice on the plain tier instead"
+                    )
                 pre = decode_dod_prefix(bytes(b), pos)
-                vals[i] = pre[pos - 1] if pre.size >= pos else nodata
-            if clip_valid is not None:
-                vmin, vmax = int(clip_valid[0]), int(clip_valid[1])
-                nd = vals == int(nodata)
-                vals = np.clip(vals, vmin, vmax, where=~nd, out=vals)
+                if pre.size < pos:
+                    continue  # past the array: NULL (try_element_at parity)
+                v = int(pre[pos - 1])
+                if clip_valid is not None and v != int(nodata):
+                    v = min(max(v, int(clip_valid[0])), int(clip_valid[1]))
+                vals[i] = v
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
                                 "source": pdf["source"].to_numpy(),
-                                "value": vals.astype(np.int32)})
+                                "value": pd.array(vals, dtype="Int32")})
 
     return (spark.read.parquet(tier_dir)
             .select("doc_id", "source", dod_col)

@@ -101,3 +101,19 @@ def test_decode_dod_fast_bit_exact():
         b = encode_dod(v)
         assert np.array_equal(decode_dod(b), v)
         assert np.array_equal(decode_dod_fast(b), v)
+
+
+def test_decode_dod_fast_truncated_payload_raises():
+    """Corrupt/truncated payloads must fail loudly (-1 from the bounded C
+    reader -> ValueError), never read past the buffer or return garbage."""
+    import numpy as np
+    import pytest
+
+    from modape_spark.compression import decode_dod_fast, encode_dod
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(-(1 << 30), 1 << 30, 64).cumsum()
+    b = encode_dod(v)
+    for cut in (14, len(b) // 2, len(b) - 1):  # keep the 13-byte header
+        with pytest.raises(ValueError, match="overrun"):
+            decode_dod_fast(b[:cut])

@@ -225,7 +225,8 @@ def test_export_compact_slice_matches_plain(spark, tmp_path):
                        n_buckets=4)
     compact = write_tier_tables(spark, comb, str(tmp_path / "c"),
                                 tiers=("dekad",), compact=True)["dekad"]
-    for pos, clip in ((1, None), (7, None), (3, (0, 120))):
+    # 999 probes past every stored array: both paths must yield NULL
+    for pos, clip in ((1, None), (7, None), (3, (0, 120)), (999, None)):
         want = {r["doc_id"]: r["value"]
                 for r in export_tier_slice(spark, comb, "dekad", pos,
                                            clip_valid=clip).collect()}
