@@ -144,3 +144,22 @@ def test_stateful_source_ledger_across_microbatches(spark, tmp_path):
     assert web["n_batches"] == 3
     assert web["n_points"] == 147
     assert latest["lab"]["max_position"] == 10
+
+
+def test_update_sink_idempotent_under_replay(spark, tmp_path):
+    """ST4: replaying a micro-batch (retry after a mid-commit failure)
+    must not duplicate ledger rows — the batch-id directory is
+    overwritten, not appended."""
+    from modape_spark.streaming.stateful import idempotent_batch_writer
+
+    sink = str(tmp_path / "sink")
+    write = idempotent_batch_writer(sink)
+    ledger = spark.createDataFrame(
+        [("web", 107, 3, 147), ("lab", 10, 1, 10)],
+        "source string, max_position int, n_batches long, n_points long")
+    write(ledger, 0)
+    write(ledger, 0)          # replay of the SAME micro-batch
+    write(ledger.limit(1), 1)  # a later batch lands separately
+    got = spark.read.parquet(sink)
+    assert got.count() == 3   # 2 (batch 0, once) + 1 (batch 1)
+    assert got.filter("batch_id = 0").count() == 2
