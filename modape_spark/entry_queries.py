@@ -190,6 +190,101 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_compact_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact (dod-only) tier table round trip under the driver's
+    rows/schema check: materialize the combined rollup, write the dekad
+    tier in the compact layout, reconstruct the arrays through the
+    compiled C bit reader (read_tier_compact) and probe position 1 via
+    the prefix decoder (export_compact_slice).  Every row self-verifies
+    against the plain arrays; the returned counters must satisfy
+    n_rows == n_array_exact == n_slice_exact (north_rule token-array
+    equality through encode -> disk -> decode)."""
+    import shutil
+    import tempfile
+
+    from .tiers import (
+        export_compact_slice,
+        materialize_rollup,
+        read_tier_compact,
+        tier_view,
+        write_tier_tables,
+    )
+
+    raw = sequences_df(spark, min(n_rows_for_sf(sf_of(sf_dir)), 2000))
+    tmp = tempfile.mkdtemp(prefix="modape_compact_")
+    try:
+        comb = f"{tmp}/comb"
+        materialize_rollup(raw, comb, CFG_FIXED, n_buckets=8)
+        compact = write_tier_tables(spark, comb, f"{tmp}/tiers",
+                                    tiers=("dekad",), compact=True)["dekad"]
+        plain = tier_view(spark, comb, "dekad").select(
+            "doc_id", F.col("dekad").alias("arr_plain"))
+        back = read_tier_compact(spark, compact, "dekad").select(
+            "doc_id", F.col("dekad").alias("arr_c"))
+        sl = export_compact_slice(spark, compact, "dekad", 1).select(
+            "doc_id", F.col("value").alias("v1"))
+        j = plain.join(back, "doc_id").join(sl, "doc_id")
+        row = j.agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("arr_plain") == F.col("arr_c")).cast("long"))
+             .alias("n_array_exact"),
+            F.sum(F.try_element_at("arr_plain", F.lit(1))
+                  .eqNullSafe(F.col("v1")).cast("long"))
+             .alias("n_slice_exact"),
+            F.sum(_checksum("arr_c")).alias("compact_checksum"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(int(row["n_rows"]), int(row["n_array_exact"]),
+              int(row["n_slice_exact"]), int(row["compact_checksum"]))],
+            "n_rows long, n_array_exact long, n_slice_exact long, "
+            "compact_checksum long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_sgrid_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 fixed-from-sgrid forward run (smooth.py:430-431): materialize
+    the optimizing run's sopt state (the sgrid), then re-run with
+    soptimize=False, svalue=None consuming the stored per-key lambda via
+    the state join (J6; on disk both sides live in the same doc_id-hash
+    bucket layout so the join is co-located — tests/test_tiers_spark.py
+    covers the disk form).  Per-row checksum parity with the optimizing
+    run's smoothed output is emitted as ``parity_ok``/``checksum_delta``.
+
+    Precision contract: the sgrid is stored as float32 — exactly the
+    reference's sgrid dataset dtype (smooth.py:166) — so the forward
+    lambda differs from the optimizing run's float64 lambda by ~1e-7
+    relative, which can flip an np.rint half-boundary by one integer
+    step on rare rows (measured 2/4000 at sf0.01, |delta| = 1).  The
+    reference's own sgrid re-runs carry the identical rounding;
+    tests/test_entry.py pins the tolerance."""
+    raw = sequences_df(
+        spark, min(n_rows_for_sf(sf_of(sf_dir)), 4000)).persist()
+    first = rollup_dataframe(raw, CFG_SMOOTH).select(
+        "doc_id", "covered",
+        F.col("sopt_log10"),
+        _checksum("smoothed").alias("sum_opt"),
+    ).persist()
+    state = first.select("doc_id", "sopt_log10")
+    forward = rollup_dataframe(
+        raw.join(state, "doc_id"),
+        SmoothConfig(soptimize=False, svalue=None, p=0.90, tempint=()),
+    ).select("doc_id", _checksum("smoothed").alias("sum_fixed"))
+    return (
+        first.join(forward, "doc_id")
+        .select(
+            "doc_id", "covered",
+            F.round(F.col("sopt_log10").cast("double"), 4)
+             .alias("sopt_log10_r"),
+            "sum_opt", "sum_fixed",
+            (F.col("sum_fixed") - F.col("sum_opt")).alias("checksum_delta"),
+            (F.col("sum_opt") == F.col("sum_fixed")).alias("parity_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "tier_smoothed_optvp": q_tier_smoothed,
     "lineage_resume": q_lineage_resume,
@@ -198,6 +293,8 @@ QUERIES = {
     "tier_fixed_lambda": q_tier_fixed_lambda,
     "compress_roundtrip": q_compress_roundtrip,
     "incremental_forward": q_incremental_forward,
+    "tier_compact_readback": q_compact_readback,
+    "tier_sgrid_forward": q_sgrid_forward,
 }
 
 # non-SQL-expressible (sequential banded solver) -> no oracle entries

@@ -77,3 +77,25 @@ def test_oracle_match(spark, duck, name):
     dset = _rows_to_set(dcols, drows)
     mism = [i for i, (a, b) in enumerate(zip(sset, dset)) if a != b]
     assert not mism, f"{name}: first mismatches {[(sset[i], dset[i]) for i in mism[:3]]}"
+
+
+def test_compact_readback_counters(spark):
+    """The C bit-reader read path self-verifies: every reconstructed
+    array and every prefix-decoded slice equals the plain tier."""
+    r = entry_mod.queries()["tier_compact_readback"](spark, SF_DIR).collect()[0]
+    assert r["n_rows"] > 0
+    assert r["n_rows"] == r["n_array_exact"] == r["n_slice_exact"]
+
+
+def test_sgrid_forward_parity_tolerance(spark):
+    """Fixed-from-sgrid forward run reproduces the optimizing smooth up
+    to the float32 precision of the stored sgrid (reference
+    smooth.py:166 stores sgrid as float32): a lambda 1e-7 off can flip
+    an np.rint half-boundary by ONE integer step on rare rows, never
+    more."""
+    rows = entry_mod.queries()["tier_sgrid_forward"](spark, SF_DIR).collect()
+    assert rows
+    deltas = [abs(r["checksum_delta"]) for r in rows]
+    mism = [d for d in deltas if d]
+    assert max(deltas, default=0) <= 2
+    assert len(mism) <= max(1, len(rows) // 200)  # <= 0.5% of rows
