@@ -63,7 +63,14 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     the Repartition node to the scan.  On a real many-file table the scan
     already yields >= cores splits and this is a no-op."""
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(cores, 8):
+    # file count is a metadata-only proxy for scan splits — no job, and
+    # crucially no RDD conversion per view registration (df.rdd forced a
+    # full plan translation on every register_views call)
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= min(cores, 8):
         return df
     return df.repartition(cores)
 

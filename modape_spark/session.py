@@ -67,6 +67,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        # pin worker reuse (the default, but the scaling evidence depends
+        # on it: a fresh python worker per task would re-pay module import
+        # + ckernel dlopen ~100x per run)
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # dynamic: overwrite only the partitions a job writes (idempotent
         # checkpointed resume, lineage.py)
