@@ -155,6 +155,56 @@ long dod_decode_stream(const unsigned char* buf, long nbytes,
     }
     return 0;
 }
+
+/* --- delta-of-delta encoder (mirror of compression.encode_dod) --------
+   Encodes R same-length rows (row-major int64, length n) into out with
+   ``stride`` bytes reserved per row, zero-padded to a byte boundary like
+   np.packbits; lens[r] = bytes written for row r.  Byte-identical to the
+   numpy encoder (tests/test_compression.py asserts it).  Returns 0 ok,
+   -1 if any |dod| >= 2^34 (the python encoder's range check). */
+long dod_encode_rows(const long long* V, long R, long n,
+                     unsigned char* out, long stride, long long* lens)
+{
+    long r, i;
+    for (r = 0; r < R; r++) {
+        const long long* v = V + r * n;
+        unsigned char* o = out + r * stride;
+        unsigned long long acc = 0;
+        int nacc = 0;
+        long nb_out = 0;
+        long long prev_d = 0;
+        for (i = 1; i < n; i++) {
+            long long d = v[i] - v[i-1];
+            long long dod = d - prev_d;
+            unsigned long long code; int nb;
+            prev_d = d;
+            if (dod == 0) { code = 0; nb = 1; }
+            else if (dod >= -63 && dod <= 64) {
+                code = (2ULL << 7) | (unsigned long long)(dod + 63); nb = 9; }
+            else if (dod >= -255 && dod <= 256) {
+                code = (6ULL << 9) | (unsigned long long)(dod + 255); nb = 12; }
+            else if (dod >= -2047 && dod <= 2048) {
+                code = (14ULL << 12) | (unsigned long long)(dod + 2047); nb = 16; }
+            else {
+                unsigned long long z;
+                if (dod >= (1LL << 34) || dod <= -(1LL << 34)) return -1;
+                z = ((unsigned long long)dod << 1)
+                    ^ (unsigned long long)(dod >> 63);
+                code = (30ULL << 36) | (z & ((1ULL << 36) - 1)); nb = 41; }
+            /* nacc <= 7 here and nb <= 41, so acc never overflows 64 */
+            acc = (acc << nb) | code;
+            nacc += nb;
+            while (nacc >= 8) {
+                o[nb_out++] = (unsigned char)((acc >> (nacc - 8)) & 0xFF);
+                nacc -= 8;
+            }
+        }
+        if (nacc)
+            o[nb_out++] = (unsigned char)((acc << (8 - nacc)) & 0xFF);
+        lens[r] = nb_out;
+    }
+    return 0;
+}
 """
 
 _CFLAGS = ["-O2", "-fno-fast-math", "-ffp-contract=off", "-fPIC", "-shared"]
@@ -206,6 +256,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long, ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong), ctypes.c_long]
         lib.dod_decode_stream.restype = ctypes.c_long
+        lib.dod_encode_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.dod_encode_rows.restype = ctypes.c_long
         _lib = lib
     except Exception:
         _lib = None

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_dod", "decode_dod", "decode_dod_fast",
+__all__ = ["encode_dod", "encode_dod_rows", "decode_dod", "decode_dod_fast",
            "encode_gorilla", "decode_gorilla"]
 
 _MAGIC_DOD = 0xD0
@@ -124,6 +124,48 @@ class _BitReader:
             p += 1
         self.pos = p
         return out
+
+
+def encode_dod_rows(M: np.ndarray) -> list[bytes]:
+    """Encode every row of a same-length integer block through the
+    compiled C bit writer (ckernel.dod_encode_rows) — byte-identical to
+    ``encode_dod`` per row (tests/test_compression.py asserts equality).
+
+    This is the materialization hot path: profiled at sf0.1, per-row
+    numpy packing was 49% of the whole kernel UDF (3 encodes per row x
+    ~15 small-array numpy dispatches each); one C call per Arrow batch
+    removes all of it.  Falls back to the numpy encoder when the C
+    library is unavailable."""
+    import ctypes
+
+    from .ckernel import get_lib
+
+    M = np.ascontiguousarray(np.asarray(M), dtype=np.int64)
+    if M.ndim != 2:
+        raise ValueError("encode_dod_rows expects a 2-D (rows, n) block")
+    R, n = M.shape
+    lib = get_lib()
+    if lib is None or n <= 1 or R == 0:
+        return [encode_dod(row) for row in M]
+    stride = ((n - 1) * 41 + 7) // 8  # worst case: all 41-bit codes
+    out = np.empty(R * stride, dtype=np.uint8)
+    lens = np.empty(R, dtype=np.int64)
+    rc = lib.dod_encode_rows(
+        M.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        int(R), int(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        int(stride),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+    if rc != 0:
+        raise ValueError("delta-of-delta out of 36-bit zigzag range")
+    head_n = bytes([_MAGIC_DOD]) + np.array([n], dtype=">u4").tobytes()
+    firsts = M[:, 0].astype(">i8").tobytes()
+    ob = out.tobytes()
+    return [
+        head_n + firsts[8 * r:8 * r + 8]
+        + ob[r * stride:r * stride + int(lens[r])]
+        for r in range(R)
+    ]
 
 
 def decode_dod(buf: bytes) -> np.ndarray:

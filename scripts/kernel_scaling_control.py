@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""No-Spark multiprocess scaling control for the rollup kernel.
+
+Runs the identical kernel workload (process_length_group on 128-row
+blocks of the synthetic fixture, the same Arrow-batch shape the engine
+feeds) through a plain multiprocessing pool at several worker counts and
+prints rows/sec per level plus pairwise efficiencies.  This isolates the
+HOST's ability to scale pure compute from everything Spark adds (scan,
+Arrow feed, scheduling): if this control is sub-0.8 between N and 4N,
+the shortfall is the machine (burst/power budget), not the engine.
+
+Usage: python scripts/kernel_scaling_control.py [--rows 100000]
+       [--workers 1,8,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+BATCH = 128
+
+
+def _work(args):
+    start, n_rows = args
+    from modape_spark.entry_queries import CFG_ALL
+    from modape_spark.fixtures import gen_tokens_block, row_lengths
+    from modape_spark.rollup import process_length_group
+
+    ids = np.arange(start, start + n_rows, dtype=np.int64)
+    lens = row_lengths(ids)
+    done = 0
+    for n in np.unique(lens):
+        sel = ids[lens == n]
+        for lo in range(0, sel.size, BATCH):
+            blk = gen_tokens_block(sel[lo:lo + BATCH], int(n))
+            process_length_group(blk.astype(np.float64), int(n), CFG_ALL)
+            done += blk.shape[0]
+    return done
+
+
+def _steal() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
+def run_level(workers: int, total_rows: int) -> float:
+    chunk = max(total_rows // (workers * 3), 256)
+    tasks = [(s, min(chunk, total_rows - s))
+             for s in range(0, total_rows, chunk)]
+    with mp.get_context("spawn").Pool(workers, initializer=_warm) as pool:
+        s0, t0 = _steal(), time.time()
+        n = sum(pool.map(_work, tasks))
+        dt, sj = time.time() - t0, _steal() - s0
+    thr = n / dt
+    print(json.dumps({"workers": workers, "rows": n,
+                      "seconds": round(dt, 2),
+                      "rows_per_sec": round(thr, 1),
+                      "steal_jiffies": sj}), flush=True)
+    return thr
+
+
+def _warm():
+    from modape_spark.ckernel import get_lib
+    get_lib()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100000)
+    ap.add_argument("--workers", default="1,8,32")
+    args = ap.parse_args()
+    levels = [int(w) for w in args.workers.split(",")]
+    thr = {w: run_level(w, args.rows) for w in levels}
+    for a, b in zip(levels, levels[1:]):
+        eff = thr[b] / (thr[a] * (b / a))
+        print(json.dumps({"pair": f"{a}->{b}",
+                          "efficiency": round(eff, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

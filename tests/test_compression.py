@@ -117,3 +117,42 @@ def test_decode_dod_fast_truncated_payload_raises():
     for cut in (14, len(b) // 2, len(b) - 1):  # keep the 13-byte header
         with pytest.raises(ValueError, match="overrun"):
             decode_dod_fast(b[:cut])
+
+
+def test_encode_dod_rows_byte_identical():
+    """The C batch encoder must emit BYTE-identical payloads to the
+    numpy reference encoder across every bucket, including the 36-bit
+    zigzag escape and the padding byte."""
+    import numpy as np
+
+    from modape_spark.ckernel import get_lib
+    from modape_spark.compression import decode_dod, encode_dod, encode_dod_rows
+
+    assert get_lib() is not None, "C kernel must be available in this image"
+    rng = np.random.default_rng(11)
+    blocks = [
+        np.tile(np.arange(50, dtype=np.int64) * 3, (4, 1)),      # all '0'
+        rng.integers(-64, 65, (8, 300)).cumsum(axis=1),          # 7-bit
+        rng.integers(-300, 300, (8, 200)).cumsum(axis=1),        # 9/12-bit
+        rng.integers(-(1 << 25), 1 << 25, (5, 40)).cumsum(axis=1),  # 36b
+        np.array([[7, -3]], dtype=np.int64),                     # n=2
+        rng.integers(-2048, 2049, (3, 742)).cumsum(axis=1),      # fixture n
+    ]
+    for M in blocks:
+        got = encode_dod_rows(M)
+        want = [encode_dod(row) for row in M]
+        assert got == want
+        for blob, row in zip(got, M):
+            assert np.array_equal(decode_dod(blob), row)
+
+
+def test_encode_dod_rows_range_check():
+    import numpy as np
+    import pytest
+
+    from modape_spark.compression import encode_dod_rows
+
+    M = np.zeros((2, 4), dtype=np.int64)
+    M[1, 2] = 1 << 40  # dod way out of the 36-bit zigzag range
+    with pytest.raises(ValueError, match="36-bit"):
+        encode_dod_rows(M)
