@@ -66,84 +66,205 @@ COMPACT_TIER_COLUMNS = {
 }
 
 
-def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> pd.DataFrame:
-    """Kernel body for one Arrow batch; also the local oracle in tests."""
-    R = len(pdf)
-    lens = pdf["n_tok"].to_numpy()
-    tok = pdf["tokens"].to_numpy()
-    sgrid_col = pdf["sopt_log10"].to_numpy() if "sopt_log10" in pdf.columns else None
+def _rollup_core(lens: np.ndarray, flat: np.ndarray, starts: np.ndarray,
+                 sgrid: np.ndarray | None, cfg: SmoothConfig,
+                 compress: bool) -> dict:
+    """Shared kernel body over a flattened token batch.
 
-    smoothed = np.empty(R, dtype=object)
-    dekad = np.empty(R, dtype=object)
-    pentad = np.empty(R, dtype=object)
-    s_dod = np.empty(R, dtype=object)
-    d_dod = np.empty(R, dtype=object)
-    p_dod = np.empty(R, dtype=object)
+    Inputs are the Arrow list layout — one contiguous ``flat`` values
+    vector plus per-row ``starts``/``lens`` — so the Arrow path feeds the
+    kernel with ZERO per-row materialization (no 100k small numpy-object
+    allocations per pass; that conversion was the fixed ~3 s non-scaling
+    feed cost in BENCH/BASELINE.md).  Outputs come back in the same
+    values+offsets layout, ready for zero-copy ListArray construction.
+    """
+    R = lens.size
+    want_dekad = STRES_DEKAD in cfg.tempint
+    want_pentad = STRES_PENTAD in cfg.tempint
+
     sopt = np.full(R, np.nan, dtype=np.float32)
     covered = np.zeros(R, dtype=bool)
     dekad_total = np.zeros(R, dtype=np.int32)
     pentad_total = np.zeros(R, dtype=np.int32)
+    s_dod = np.empty(R, dtype=object)
+    d_dod = np.empty(R, dtype=object)
+    p_dod = np.empty(R, dtype=object)
 
-    want_dekad = STRES_DEKAD in cfg.tempint
-    want_pentad = STRES_PENTAD in cfg.tempint
-
-    for n in np.unique(lens):
+    uniq = np.unique(lens)
+    # windowed configs (nsmooth/nupdate forward runs) emit TAIL blocks
+    # narrower than the input length, so output widths are only known from
+    # the kernel result itself: run all groups first, then assemble the
+    # flat buffers from the actual block shapes
+    groups: list[tuple[np.ndarray, object]] = []
+    for n in uniq:
         sel = np.where(lens == n)[0]
-        Y = np.stack(list(tok[sel])).astype(np.float64)
-        sg = sgrid_col[sel].astype(np.float64) if sgrid_col is not None else None
-        res = process_length_group(Y, int(n), cfg, sgrid=sg)
+        n = int(n)
+        gidx = (starts[sel][:, None] + np.arange(n)).ravel()
+        Y = flat[gidx].reshape(sel.size, n).astype(np.float64)
+        sg = sgrid[sel].astype(np.float64) if sgrid is not None else None
+        res = process_length_group(Y, n, cfg, sgrid=sg)
         sopt[sel] = res.sopt_log10
         covered[sel] = res.covered
-        # whole-block C encode: per-row numpy packing was 49% of this UDF
-        blobs = encode_dod_rows(res.smoothed) if compress else None
-        for j, r in enumerate(sel):
-            smoothed[r] = res.smoothed[j]
-            if compress:
-                s_dod[r] = blobs[j]
         if want_dekad:
-            blk = res.interp[STRES_DEKAD]
             dekad_total[sel] = grid_for_length(
-                int(n), STRES_DEKAD, cfg.rtres, cfg.tshift, cfg.epoch,
+                n, STRES_DEKAD, cfg.rtres, cfg.tshift, cfg.epoch,
                 cfg.tempint_start).target_ix.size
-            blobs = encode_dod_rows(blk) if compress else None
-            for j, r in enumerate(sel):
-                dekad[r] = blk[j]
-                if compress:
-                    d_dod[r] = blobs[j]
         if want_pentad:
-            blk = res.interp[STRES_PENTAD]
             pentad_total[sel] = grid_for_length(
-                int(n), STRES_PENTAD, cfg.rtres, cfg.tshift, cfg.epoch,
+                n, STRES_PENTAD, cfg.rtres, cfg.tshift, cfg.epoch,
                 cfg.tempint_start).target_ix.size
-            blobs = encode_dod_rows(blk) if compress else None
-            for j, r in enumerate(sel):
-                pentad[r] = blk[j]
-                if compress:
-                    p_dod[r] = blobs[j]
+        groups.append((sel, res))
+
+    def _assemble(blocks: list[tuple[np.ndarray, np.ndarray]],
+                  dod: np.ndarray | None):
+        row_lens = np.zeros(R, dtype=np.int64)
+        for sel, blk in blocks:
+            row_lens[sel] = blk.shape[1]
+        off = np.zeros(R + 1, dtype=np.int64)
+        np.cumsum(row_lens, out=off[1:])
+        vals = np.empty(int(off[-1]), dtype=np.int32)
+        for sel, blk in blocks:
+            m = blk.shape[1]
+            idx = (off[:-1][sel][:, None] + np.arange(m)).ravel()
+            vals[idx] = blk.ravel()
+            if dod is not None:
+                dod[sel] = np.asarray(encode_dod_rows(blk), dtype=object)
+        return vals, off
+
+    s_vals, s_off = _assemble(
+        [(sel, res.smoothed) for sel, res in groups],
+        s_dod if compress else None)
+    d_vals = d_off = p_vals = p_off = None
+    if want_dekad:
+        d_vals, d_off = _assemble(
+            [(sel, res.interp[STRES_DEKAD]) for sel, res in groups],
+            d_dod if compress else None)
+    if want_pentad:
+        p_vals, p_off = _assemble(
+            [(sel, res.interp[STRES_PENTAD]) for sel, res in groups],
+            p_dod if compress else None)
+
+    return {
+        "covered": covered, "sopt": sopt,
+        "dekad_total": dekad_total, "pentad_total": pentad_total,
+        "s_vals": s_vals, "s_off": s_off,
+        "d_vals": d_vals, "d_off": d_off,
+        "p_vals": p_vals, "p_off": p_off,
+        "s_dod": s_dod if compress else None,
+        "d_dod": d_dod if (compress and want_dekad) else None,
+        "p_dod": p_dod if (compress and want_pentad) else None,
+    }
+
+
+def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> pd.DataFrame:
+    """Pandas wrapper over the flat kernel core — the local oracle the
+    tier tests compare the Spark (Arrow) path against."""
+    R = len(pdf)
+    lens = pdf["n_tok"].to_numpy().astype(np.int64)
+    tok = pdf["tokens"].to_numpy()
+    flat = (np.concatenate([np.asarray(t) for t in tok])
+            if R else np.empty(0, dtype=np.int64))
+    starts = np.zeros(R, dtype=np.int64)
+    if R:
+        np.cumsum(lens[:-1], out=starts[1:])
+    sgrid = pdf["sopt_log10"].to_numpy() if "sopt_log10" in pdf.columns else None
+
+    core = _rollup_core(lens, flat, starts, sgrid, cfg, compress)
+
+    def _rows(vals, off):
+        out = np.empty(R, dtype=object)
+        if vals is not None:
+            for r in range(R):
+                out[r] = vals[off[r]:off[r + 1]]
+        return out
+
+    def _blobs(b):
+        return b if b is not None else np.empty(R, dtype=object)
 
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].to_numpy(),
             "source": pdf["source"].to_numpy(),
-            "n_tok": lens,
-            "covered": covered,
-            "smoothed": smoothed,
-            "sopt_log10": sopt,
-            "dekad": dekad,
-            "pentad": pentad,
-            "smoothed_dod": s_dod,
-            "dekad_dod": d_dod,
-            "pentad_dod": p_dod,
-            "dekad_total": dekad_total,
-            "pentad_total": pentad_total,
+            "n_tok": lens.astype(np.int32),
+            "covered": core["covered"],
+            "smoothed": _rows(core["s_vals"], core["s_off"]),
+            "sopt_log10": core["sopt"],
+            "dekad": _rows(core["d_vals"], core["d_off"]),
+            "pentad": _rows(core["p_vals"], core["p_off"]),
+            "smoothed_dod": _blobs(core["s_dod"]),
+            "dekad_dod": _blobs(core["d_dod"]),
+            "pentad_dod": _blobs(core["p_dod"]),
+            "dekad_total": core["dekad_total"],
+            "pentad_total": core["pentad_total"],
         }
     )
 
 
+def process_rollup_arrow(batch, cfg: SmoothConfig, compress: bool):
+    """Arrow-native kernel body: list columns in and out as contiguous
+    (values, offsets) buffers — no pandas conversion, no per-row numpy
+    object allocation on either side of the Python boundary."""
+    import pyarrow as pa
+
+    R = batch.num_rows
+    names = batch.schema.names
+    tok = batch.column(names.index("tokens"))
+    if tok.null_count:
+        # null token rows never occur in the contract tables; route the
+        # odd batch through the pandas oracle path rather than guessing
+        return pa.RecordBatch.from_pandas(
+            process_rollup_pdf(batch.to_pandas(), cfg, compress),
+            preserve_index=False)
+    # pyarrow slices .offsets but not .values, so values[off[i]:off[i+1]]
+    # is correct for sliced batches too
+    off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = tok.values.to_numpy(zero_copy_only=True)
+    lens = np.diff(off)
+    starts = off[:-1]
+    sgrid = (batch.column(names.index("sopt_log10"))
+             .to_numpy(zero_copy_only=False)
+             if "sopt_log10" in names else None)
+
+    core = _rollup_core(lens, flat, starts, sgrid, cfg, compress)
+
+    def _list_arr(vals, o):
+        if vals is None:
+            return pa.nulls(R, pa.list_(pa.int32()))
+        return pa.ListArray.from_arrays(
+            pa.array(o.astype(np.int32)), pa.array(vals))
+
+    def _bin_arr(b):
+        if b is None:
+            return pa.nulls(R, pa.binary())
+        return pa.array(b.tolist(), type=pa.binary())
+
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column(names.index("doc_id")),
+            batch.column(names.index("source")),
+            pa.array(lens.astype(np.int32)),
+            pa.array(core["covered"]),
+            _list_arr(core["s_vals"], core["s_off"]),
+            pa.array(core["sopt"]),
+            _list_arr(core["d_vals"], core["d_off"]),
+            _list_arr(core["p_vals"], core["p_off"]),
+            _bin_arr(core["s_dod"]),
+            _bin_arr(core["d_dod"]),
+            _bin_arr(core["p_dod"]),
+            pa.array(core["dekad_total"]),
+            pa.array(core["pentad_total"]),
+        ],
+        names=["doc_id", "source", "n_tok", "covered", "smoothed",
+               "sopt_log10", "dekad", "pentad", "smoothed_dod",
+               "dekad_dod", "pentad_dod", "dekad_total", "pentad_total"],
+    )
+
+
 def rollup_udf(cfg: SmoothConfig, compress: bool = True):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield process_rollup_pdf(pdf, cfg, compress)
+    def fn(batches) -> "Iterator":
+        for batch in batches:
+            if batch.num_rows:
+                yield process_rollup_arrow(batch, cfg, compress)
     return fn
 
 
@@ -162,7 +283,7 @@ def rollup_dataframe(
     cfg = cfg or SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD, STRES_PENTAD))
     cols = [c for c in ("doc_id", "tokens", "n_tok", "source", "sopt_log10")
             if c in raw_df.columns]
-    return raw_df.select(*cols).mapInPandas(rollup_udf(cfg, compress), ROLLUP_SCHEMA)
+    return raw_df.select(*cols).mapInArrow(rollup_udf(cfg, compress), ROLLUP_SCHEMA)
 
 
 def materialize_rollup(
