@@ -178,7 +178,7 @@ def grid_for_length(n_tok: int, stres: int, rtres: int = RTRES,
                     start: str | None = None) -> "PreparedGrid":
     """Cached, numpy-ready grid bundle for one (n_tok, stres) combination.
 
-    All hot-path consumers (tiers.py mapInPandas batches) go through this
+    All hot-path consumers (tiers.py mapInArrow batches) go through this
     cache — one grid computation per distinct series length per executor,
     amortized to zero at scale.  ``start`` is the reference's custom
     interpolation start (utils.py:79-83 / modis_smooth --tempint-start):

@@ -5,7 +5,7 @@ sequences table's `source` column is Zipf-skewed by construction (one key
 holds ~50% of rows, fixtures.py) — any shuffle keyed by it alone creates a
 straggler task at cluster scale.  Remedies, in preference order:
 
-1. Don't shuffle: the rollup hot path is mapInPandas (row-local) and never
+1. Don't shuffle: the rollup hot path is mapInArrow (row-local) and never
    keys by source.
 2. Two-phase (salted) aggregation for metric rollups keyed by a hot column:
    partial agg on (key, salt) then final agg on key — the classic map-side

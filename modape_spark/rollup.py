@@ -1,7 +1,7 @@
 """Block-level rollup pipeline: gate -> smooth -> interpolate -> round.
 
 Pure numpy; no Spark imports.  This module is BOTH the body of the Spark
-``mapInPandas`` stage (tiers.py) and the local oracle the tests compare the
+``mapInArrow`` stage (tiers.py) and the local oracle the tests compare the
 cluster output against — so Spark-vs-oracle equality is exact by
 construction, and correctness reduces to the kernel tests
 (tests/test_kernels.py) plus the reference-semantics tests here.
