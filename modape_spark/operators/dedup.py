@@ -141,24 +141,18 @@ def _bands_cte(mh_expr: str, dialect: str) -> str:
     """
 
 
-def _minhash_pairs_sql(dialect: str) -> str:
-    """Spark inlines CTEs per reference, so joining ``sigs`` back onto the
-    candidates re-ran the whole shingle->hash->min pipeline twice more
-    (4 scans total in the round-1 plan, zero ReusedExchange).  Carrying
-    ``mh`` through the band rows and deduping with group-by + first()
-    halves the pipeline executions and drops the distinct+2 joins."""
-    mh = _minhash_sql_spark() if dialect == "spark" else _minhash_sql_duck()
-    bands = _bands_cte(mh, dialect)
+def _pairs_tail_sql(dialect: str, src: str = "bands") -> str:
+    """The candidate-pair tail over a bands relation ``src``
+    (doc_id, mh, band, band_hash)."""
     if dialect == "spark":
         n_eq = f"size(filter(sequence(0, {N_MINHASH - 1}), i -> mha[i] = mhb[i]))"
     else:
         n_eq = f"len(list_filter(generate_series(1, {N_MINHASH}), i -> mha[i] = mhb[i]))"
     return f"""
-        with {bands},
         cand as (
             select x.doc_id as da, y.doc_id as db,
                    first(x.mh) as mha, first(y.mh) as mhb
-            from bands x join bands y
+            from {src} x join {src} y
               on x.band = y.band and x.band_hash = y.band_hash
              and x.doc_id < y.doc_id
             group by x.doc_id, y.doc_id
@@ -171,9 +165,54 @@ def _minhash_pairs_sql(dialect: str) -> str:
     """
 
 
+def _minhash_pairs_sql(dialect: str) -> str:
+    """Single-statement pair query (the DuckDB oracle form; also the
+    Spark fallback).  Spark inlines CTEs per reference, so carrying
+    ``mh`` through the band rows and deduping with group-by + first()
+    keeps this at two pipeline executions (the x and y join sides); the
+    executed Spark path (q_minhash_lsh) goes further and materializes
+    the bands relation once — see materialize_bands."""
+    mh = _minhash_sql_spark() if dialect == "spark" else _minhash_sql_duck()
+    bands = _bands_cte(mh, dialect)
+    return f"with {bands}, {_pairs_tail_sql(dialect)}"
+
+
+def materialize_bands(spark: SparkSession) -> DataFrame:
+    """Compute the LSH bands relation ONCE and persist it.
+
+    bands is tiny relative to the corpus (N_BANDS rows of
+    (doc_id, mh[16], band, band_hash) per document — no text), but every
+    un-materialized consumer re-runs the full shingle->md5->min pipeline
+    per reference because Spark inlines CTEs.  In a 100 TB deployment
+    this relation is a derived TABLE you write next to the corpus (the
+    signature store every LSH dedup system keeps); persist() +
+    eager count is the local analogue.  The count also closes the
+    cache-population race: without it the self-join's two sides can both
+    start computing the uncached pipeline."""
+    from pyspark.storagelevel import StorageLevel
+
+    while _BANDS_CACHE:  # drop the previous call's persisted relation
+        try:
+            _BANDS_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    df = spark.sql(
+        f"with {_bands_cte(_minhash_sql_spark(), 'spark')} "
+        "select doc_id, mh, band, band_hash from bands"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df.createOrReplaceTempView("bands_mat")
+    _BANDS_CACHE.append(df)
+    return df
+
+
+_BANDS_CACHE: list = []
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_minhash_pairs_sql("spark"))
+    materialize_bands(spark)
+    return spark.sql(f"with {_pairs_tail_sql('spark', 'bands_mat')}")
 
 
 def _simhash_sql(dialect: str) -> str:
@@ -321,7 +360,11 @@ def _cross_check_sql(dialect: str) -> str:
     re-scored by embedding cosine (documents.doc_id == embeddings.vec_id in
     the driver tables) — the standard 'cheap recall, exact verify' dedup
     pipeline shape for training data."""
-    pairs = _minhash_pairs_sql(dialect)
+    # executed Spark path reads the persisted bands relation
+    # (materialize_bands) instead of re-running the shingle pipeline on
+    # both join sides; the DuckDB oracle keeps the single-statement form
+    pairs = (f"with {_pairs_tail_sql('spark', 'bands_mat')}"
+             if dialect == "spark" else _minhash_pairs_sql(dialect))
     if dialect == "spark":
         dot = ("aggregate(zip_with(ea.embedding, eb.embedding, "
                "(x, y) -> cast(x as double) * cast(y as double)), "
@@ -354,6 +397,7 @@ def _cross_check_sql(dialect: str) -> str:
 
 def q_dedup_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    materialize_bands(spark)
     return spark.sql(_cross_check_sql("spark"))
 
 
