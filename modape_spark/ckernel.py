@@ -205,6 +205,38 @@ long dod_encode_rows(const long long* V, long R, long n,
     }
     return 0;
 }
+
+/* --- batched payload decoder (compact tier read path) -----------------
+   R complete payloads (13-byte header + bitstream, compression.py
+   format) concatenated in buf; boffs[r]..boffs[r+1] delimit payload r.
+   ooffs[r] gives the output start for row r, precomputed by the caller
+   from the payload headers; the header n is re-validated against
+   ooffs[r+1]-ooffs[r].  One call decodes the whole Arrow batch.
+   Returns 0 ok, -(r+1) for the first bad row (magic/length/overrun). */
+long dod_decode_rows(const unsigned char* buf, const long long* boffs,
+                     const long long* ooffs, long R, long long* out)
+{
+    long r, k;
+    for (r = 0; r < R; r++) {
+        const unsigned char* p = buf + boffs[r];
+        long nbytes = (long)(boffs[r+1] - boffs[r]);
+        long long n, first;
+        long long* o = out + ooffs[r];
+        if (nbytes < 5 || p[0] != 0xD0) return -(r+1);
+        n = ((long long)p[1] << 24) | ((long long)p[2] << 16)
+          | ((long long)p[3] << 8) | p[4];
+        if (n != ooffs[r+1] - ooffs[r]) return -(r+1);
+        if (n == 0) continue;
+        if (nbytes < 13) return -(r+1);
+        first = 0;
+        for (k = 0; k < 8; k++) first = (first << 8) | p[5 + k];
+        o[0] = first;
+        if (n == 1) continue;
+        if (dod_decode_stream(p + 13, nbytes - 13, first, o, (long)n) != 0)
+            return -(r+1);
+    }
+    return 0;
+}
 """
 
 _CFLAGS = ["-O2", "-fno-fast-math", "-ffp-contract=off", "-fPIC", "-shared"]
@@ -261,6 +293,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
             ctypes.POINTER(ctypes.c_longlong)]
         lib.dod_encode_rows.restype = ctypes.c_long
+        lib.dod_decode_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.dod_decode_rows.restype = ctypes.c_long
         _lib = lib
     except Exception:
         _lib = None

@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["encode_dod", "encode_dod_rows", "decode_dod", "decode_dod_fast",
-           "encode_gorilla", "decode_gorilla"]
+           "decode_dod_rows", "encode_gorilla", "decode_gorilla"]
 
 _MAGIC_DOD = 0xD0
 _MAGIC_GOR = 0x60
@@ -166,6 +166,56 @@ def encode_dod_rows(M: np.ndarray) -> list[bytes]:
         + ob[r * stride:r * stride + int(lens[r])]
         for r in range(R)
     ]
+
+
+def decode_dod_rows(data: np.ndarray, boffs: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode R concatenated DoD payloads in ONE C call (the read-side
+    mirror of encode_dod_rows): ``data`` is the concatenated payload
+    bytes (uint8), ``boffs`` the R+1 byte offsets — exactly the Arrow
+    BinaryArray buffer layout, so the compact-tier reader feeds this
+    zero-copy.  Returns (values int64, offsets int64[R+1]).  Bit-exact
+    with decode_dod per row; falls back to it when the C library is
+    unavailable."""
+    import ctypes
+
+    from .ckernel import get_lib
+
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    boffs = np.ascontiguousarray(boffs, dtype=np.int64)
+    R = boffs.size - 1
+    starts = boffs[:-1]
+    if R == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+    if np.any(boffs[1:] - starts < 5):
+        raise ValueError("dod payload shorter than header")
+    if np.any(data[starts] != _MAGIC_DOD):
+        raise ValueError("not a dod payload")
+    # vectorized header parse: n = big-endian u4 at bytes 1..4
+    ns = ((data[starts + 1].astype(np.int64) << 24)
+          | (data[starts + 2].astype(np.int64) << 16)
+          | (data[starts + 3].astype(np.int64) << 8)
+          | data[starts + 4].astype(np.int64))
+    ooffs = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(ns, out=ooffs[1:])
+    lib = get_lib()
+    if lib is None:
+        vals = np.empty(int(ooffs[-1]), dtype=np.int64)
+        for r in range(R):
+            vals[ooffs[r]:ooffs[r + 1]] = decode_dod(
+                data[boffs[r]:boffs[r + 1]].tobytes())
+        return vals, ooffs
+    out = np.empty(int(ooffs[-1]), dtype=np.int64)
+    rc = lib.dod_decode_rows(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        boffs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        ooffs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        int(R),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+    if rc != 0:
+        raise ValueError(
+            f"dod stream overrun (corrupt payload at row {-rc - 1})")
+    return out, ooffs
 
 
 def decode_dod(buf: bytes) -> np.ndarray:

@@ -437,10 +437,13 @@ def write_tier_tables(
 
 def read_tier_compact(spark: SparkSession, tier_dir: str, tier: str) -> DataFrame:
     """Reconstruct the integer tier arrays from a compact (dod-only) tier
-    table.  mapInPandas over the binary column through the compiled C bit
-    reader — exact round-trip (decode(encode(x)) == x is the north-rule
-    token-equality contract), scan stays column-pruned and shuffle-free."""
-    from .compression import decode_dod_fast
+    table.  mapInArrow over the binary column: the Arrow BinaryArray's
+    (offsets, data) buffers feed the batched C bit reader in ONE call per
+    batch — no per-row bytes objects on the way in, ListArray.from_arrays
+    on the way out — exact round-trip (decode(encode(x)) == x is the
+    north-rule token-equality contract), scan stays column-pruned and
+    shuffle-free."""
+    from .compression import decode_dod_rows
 
     dod_col = f"{tier}_dod"
     src = spark.read.parquet(tier_dir)
@@ -450,12 +453,28 @@ def read_tier_compact(spark: SparkSession, tier_dir: str, tier: str) -> DataFram
         for f in src.schema.fields if f.name != dod_col
     ) + f", {tier} array<int>"
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vals = [decode_dod_fast(bytes(b)).astype(np.int32)
-                    for b in pdf[dod_col]]
-            res = pdf[keep].copy()
-            res[tier] = vals
-            yield res
+    def _decode(batches):
+        import pyarrow as pa
 
-    return src.mapInPandas(_decode, out_schema)
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            names = batch.schema.names
+            ba = batch.column(names.index(dod_col))
+            if ba.null_count:
+                raise ValueError(
+                    f"null {dod_col} payload: the tier table was written "
+                    "with compress=False — read the plain tier instead")
+            bufs = ba.buffers()
+            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
+            boffs = raw_off[ba.offset:ba.offset + len(ba) + 1] \
+                .astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            vals, ooffs = decode_dod_rows(data, boffs)
+            arr = pa.ListArray.from_arrays(
+                pa.array(ooffs.astype(np.int32)),
+                pa.array(vals.astype(np.int32)))
+            cols = [batch.column(names.index(c)) for c in keep] + [arr]
+            yield pa.RecordBatch.from_arrays(cols, names=keep + [tier])
+
+    return src.mapInArrow(_decode, out_schema)

@@ -156,3 +156,45 @@ def test_encode_dod_rows_range_check():
     M[1, 2] = 1 << 40  # dod way out of the 36-bit zigzag range
     with pytest.raises(ValueError, match="36-bit"):
         encode_dod_rows(M)
+
+
+def test_decode_dod_rows_matches_per_row_decode():
+    """One C call over concatenated payloads (the Arrow BinaryArray
+    layout) must reproduce decode_dod per row, including offset slices
+    that do not start at zero."""
+    import numpy as np
+
+    from modape_spark.compression import decode_dod, decode_dod_rows, encode_dod
+
+    rng = np.random.default_rng(23)
+    rows = [rng.integers(-5000, 5000, n).cumsum() for n in (1, 2, 17, 300, 742)]
+    rows.append(np.array([42], dtype=np.int64))
+    blobs = [encode_dod(r.astype(np.int64)) for r in rows]
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    boffs = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=boffs[1:])
+    vals, ooffs = decode_dod_rows(data, boffs)
+    for r, row in enumerate(rows):
+        assert np.array_equal(vals[ooffs[r]:ooffs[r + 1]], row)
+    # a window over the middle payloads (sliced-BinaryArray shape):
+    # byte offsets are absolute into the same data buffer
+    vals2, ooffs2 = decode_dod_rows(data, boffs[2:5])
+    for j, r in enumerate((2, 3)):
+        assert np.array_equal(vals2[ooffs2[j]:ooffs2[j + 1]], rows[r])
+
+
+def test_decode_dod_rows_reports_corrupt_row():
+    import numpy as np
+    import pytest
+
+    from modape_spark.compression import decode_dod_rows, encode_dod
+
+    good = encode_dod(np.arange(50, dtype=np.int64) * 7)
+    bad = good[:-3]  # truncated bitstream
+    data = np.frombuffer(good + bad + good, dtype=np.uint8)
+    boffs = np.array([0, len(good), len(good) + len(bad),
+                      2 * len(good) + len(bad)], dtype=np.int64)
+    with pytest.raises(ValueError, match="row 1"):
+        decode_dod_rows(data, boffs)
+    with pytest.raises(ValueError, match="not a dod"):
+        decode_dod_rows(data[1:], boffs[:2])
