@@ -94,6 +94,35 @@ def source_watermark_ledger(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
+DOCS_STREAM_SCHEMA = ("doc_id string, ts timestamp, source string, "
+                      "text string")
+
+
+def streaming_exact_dedup(spark: SparkSession, landing_dir: str,
+                          watermark: str = "1 hour",
+                          reader_options: dict | None = None) -> DataFrame:
+    """Streaming ingest dedup — the training-data pipeline's first gate,
+    as the streaming mirror of docs_exact_dedup (operators/dedup.py).
+
+    Re-delivered documents (crawler retries, at-least-once upstream
+    queues) are dropped by content hash via
+    ``dropDuplicatesWithinWatermark``: the dedup state store keeps one
+    entry per hash and EVICTS entries older than the watermark, so state
+    is bounded by the ingest rate x horizon, not by corpus size — the
+    property that lets this run forever at 100 TB/day.  Exact dedup
+    only; near-dup (MinHash/SimHash) stays a batch compaction pass over
+    the landed table, where the bucketed self-joins are cheap."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    return (
+        reader.parquet(landing_dir)
+        .withColumn("content_hash", F.xxhash64("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def idempotent_batch_writer(sink_dir: str):
     """foreachBatch sink that is exactly-once under micro-batch RETRIES:
     each micro-batch overwrites its own ``batch_id=<epoch>`` directory, so

@@ -31,6 +31,8 @@ BATCH = 128
 
 def _work(args):
     start, n_rows = args
+    from modape_spark.compression import encode_dod_rows
+    from modape_spark.constants import STRES_DEKAD, STRES_PENTAD
     from modape_spark.entry_queries import CFG_ALL
     from modape_spark.fixtures import gen_tokens_block, row_lengths
     from modape_spark.rollup import process_length_group
@@ -42,7 +44,13 @@ def _work(args):
         sel = ids[lens == n]
         for lo in range(0, sel.size, BATCH):
             blk = gen_tokens_block(sel[lo:lo + BATCH], int(n))
-            process_length_group(blk.astype(np.float64), int(n), CFG_ALL)
+            res = process_length_group(blk.astype(np.float64), int(n),
+                                       CFG_ALL)
+            # mirror the full UDF body: compression encode included
+            encode_dod_rows(res.smoothed)
+            for st in (STRES_DEKAD, STRES_PENTAD):
+                if st in res.interp:
+                    encode_dod_rows(res.interp[st])
             done += blk.shape[0]
     return done
 

@@ -163,3 +163,45 @@ def test_update_sink_idempotent_under_replay(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 3   # 2 (batch 0, once) + 1 (batch 1)
     assert got.filter("batch_id = 0").count() == 2
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """Re-delivered documents are dropped by content hash across
+    micro-batch files; distinct texts all survive exactly once."""
+    import datetime as dt
+
+    from modape_spark.streaming.stateful import (
+        DOCS_STREAM_SCHEMA,
+        run_available_now,
+        streaming_exact_dedup,
+    )
+
+    landing = str(tmp_path / "docs_landing")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    rows1 = [(f"d{i}", t0, "web", f"unique text number {i}") for i in range(6)]
+    rows1.append(("d0_dup", t0, "mirror", "unique text number 0"))  # in-batch dup
+    spark.createDataFrame(rows1, DOCS_STREAM_SCHEMA).write.parquet(landing)
+    # second file: one re-delivery of d3's text, two fresh docs
+    rows2 = [("d3_dup", t0 + dt.timedelta(minutes=5), "mirror",
+              "unique text number 3"),
+             ("d6", t0 + dt.timedelta(minutes=5), "web", "unique text number 6"),
+             ("d7", t0 + dt.timedelta(minutes=6), "web", "unique text number 7")]
+    spark.createDataFrame(rows2, DOCS_STREAM_SCHEMA).write.mode("append") \
+        .parquet(landing)
+
+    # one file per micro-batch: the re-delivery in file 2 must be dropped
+    # by STATE carried from file 1's batch, not by in-batch dedup
+    stream = streaming_exact_dedup(spark, landing,
+                                   reader_options={"maxFilesPerTrigger": "1"})
+    run_available_now(stream, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    texts = [r["text"] for r in got.collect()]
+    assert sorted(texts) == sorted(f"unique text number {i}" for i in range(8))
+    # cross-batch: the first delivery wins (state store), deterministic
+    ids = {r["text"]: r["doc_id"] for r in got.collect()}
+    assert ids["unique text number 3"] == "d3"
+    assert ids["unique text number 0"] in ("d0", "d0_dup")  # in-batch tie
