@@ -296,8 +296,17 @@ def materialize_rollup(
     mode: str = "overwrite",
     bucket_filter: list[int] | None = None,
     pre_bucketed: bool = False,
+    codec: str = "snappy",
 ) -> None:
     """Kernel pass + columnar write, partitioned by bucket for pruned reads.
+
+    ``codec``: the HOT tier table is written snappy by default even though
+    the session default is zstd — its bytes are dominated by the
+    delta-of-delta payloads, which are already entropy-packed (measured
+    3.6% size delta zstd vs snappy at SF=0.1), while zstd's JVM encode
+    cost competes with the kernel's Python workers for cores at full
+    width.  zstd stays the default for raw/ingest tables, where it
+    actually compresses.
 
     ``bucket_filter`` restricts the pass to specific buckets (resume path).
     The filter is applied to the RAW side, below the UDF, so skipped buckets
@@ -337,6 +346,7 @@ def materialize_rollup(
     # replaced (idempotent checkpointed resume) regardless of the session's
     # partitionOverwriteMode default
     rolled.write.mode(mode).option("partitionOverwriteMode", "dynamic") \
+        .option("compression", codec) \
         .partitionBy("bucket").parquet(out_dir)
 
 
