@@ -27,7 +27,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["encode_dod", "encode_dod_rows", "decode_dod", "decode_dod_fast",
-           "decode_dod_rows", "encode_gorilla", "decode_gorilla"]
+           "decode_dod_rows", "decode_dod_value_at",
+           "encode_gorilla", "decode_gorilla"]
 
 _MAGIC_DOD = 0xD0
 _MAGIC_GOR = 0x60
@@ -307,6 +308,47 @@ def decode_dod_prefix(buf: bytes, k: int) -> np.ndarray:
     if rc != 0:
         raise ValueError("dod stream overrun (corrupt payload)")
     return out
+
+
+def decode_dod_value_at(data: np.ndarray, boffs: np.ndarray, k: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Value #``k`` (1-based) of each of R concatenated payloads in one
+    C call, never materializing the prefixes — the batched form of
+    decode_dod_prefix for the per-date compact export.  Returns
+    (values int64[R], valid bool[R]); valid[r] is False when the stored
+    array is shorter than k (NULL export contract)."""
+    import ctypes
+
+    from .ckernel import get_lib
+
+    if k < 1:
+        raise ValueError("position is 1-based")
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    boffs = np.ascontiguousarray(boffs, dtype=np.int64)
+    R = boffs.size - 1
+    vals = np.zeros(R, dtype=np.int64)
+    valid = np.zeros(R, dtype=np.uint8)
+    if R == 0:
+        return vals, valid.astype(bool)
+    lib = get_lib()
+    if lib is None:
+        for r in range(R):
+            pre = decode_dod_prefix(
+                data[boffs[r]:boffs[r + 1]].tobytes(), k)
+            if pre.size >= k:
+                vals[r] = pre[k - 1]
+                valid[r] = 1
+        return vals, valid.astype(bool)
+    rc = lib.dod_value_at_rows(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        boffs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        int(R), int(k),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        raise ValueError(
+            f"dod stream overrun (corrupt payload at row {-rc - 1})")
+    return vals, valid.astype(bool)
 
 
 def encode_gorilla(values: np.ndarray) -> bytes:

@@ -393,35 +393,46 @@ def export_compact_slice(spark: SparkSession, tier_dir: str, tier: str,
     as export_tier_slice incl. the P3 valid-range clip and NULL for
     positions past the stored array.  A NULL payload (table written with
     compress=False) is a caller error and raises with a clear message."""
-    from .compression import decode_dod_prefix
+    from .compression import decode_dod_value_at
 
     dod_col = f"{tier}_dod"
     pos = int(position)
 
-    def _slice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vals = np.empty(len(pdf), dtype=object)
-            for i, b in enumerate(pdf[dod_col]):
-                if b is None:
-                    raise ValueError(
-                        f"null {dod_col} payload: the tier table was "
-                        "written with compress=False — use "
-                        "export_tier_slice on the plain tier instead"
-                    )
-                pre = decode_dod_prefix(bytes(b), pos)
-                if pre.size < pos:
-                    continue  # past the array: NULL (try_element_at parity)
-                v = int(pre[pos - 1])
-                if clip_valid is not None and v != int(nodata):
-                    v = min(max(v, int(clip_valid[0])), int(clip_valid[1]))
-                vals[i] = v
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
-                                "source": pdf["source"].to_numpy(),
-                                "value": pd.array(vals, dtype="Int32")})
+    def _slice(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            names = batch.schema.names
+            ba = batch.column(names.index(dod_col))
+            if ba.null_count:
+                raise ValueError(
+                    f"null {dod_col} payload: the tier table was "
+                    "written with compress=False — use "
+                    "export_tier_slice on the plain tier instead"
+                )
+            bufs = ba.buffers()
+            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
+            boffs = raw_off[ba.offset:ba.offset + len(ba) + 1] \
+                .astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            vals, valid = decode_dod_value_at(data, boffs, pos)
+            if clip_valid is not None:
+                keep = valid & (vals != int(nodata))
+                vals = np.where(
+                    keep,
+                    np.clip(vals, int(clip_valid[0]), int(clip_valid[1])),
+                    vals)
+            arr = pa.array(vals.astype(np.int32), mask=~valid)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index("doc_id")),
+                 batch.column(names.index("source")), arr],
+                names=["doc_id", "source", "value"])
 
     return (spark.read.parquet(tier_dir)
             .select("doc_id", "source", dod_col)
-            .mapInPandas(_slice, "doc_id string, source string, value int"))
+            .mapInArrow(_slice, "doc_id string, source string, value int"))
 
 
 def write_tier_tables(

@@ -198,3 +198,30 @@ def test_decode_dod_rows_reports_corrupt_row():
         decode_dod_rows(data, boffs)
     with pytest.raises(ValueError, match="not a dod"):
         decode_dod_rows(data[1:], boffs[:2])
+
+
+def test_decode_dod_value_at_matches_prefix():
+    import numpy as np
+    import pytest
+
+    from modape_spark.compression import (
+        decode_dod_prefix,
+        decode_dod_value_at,
+        encode_dod,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [rng.integers(-3000, 3000, n).cumsum() for n in (1, 2, 5, 60, 742)]
+    blobs = [encode_dod(r.astype(np.int64)) for r in rows]
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    boffs = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=boffs[1:])
+    for k in (1, 2, 5, 60, 200, 742, 1000):
+        vals, valid = decode_dod_value_at(data, boffs, k)
+        for r, row in enumerate(rows):
+            if row.size >= k:
+                assert valid[r] and vals[r] == row[k - 1], (k, r)
+            else:
+                assert not valid[r], (k, r)
+    with pytest.raises(ValueError, match="1-based"):
+        decode_dod_value_at(data, boffs, 0)
