@@ -21,25 +21,36 @@ from ..fixtures import gen_tokens_block, local_sequences, row_lengths, row_sourc
 SEQUENCES_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
-def _gen_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        lens = row_lengths(ids)
+def _gen_partition(batches) -> Iterator:
+    """Arrow-native generation: token blocks scatter into one contiguous
+    (values, offsets) buffer per batch — the same zero-object boundary
+    the rollup kernel uses (tiers.py), so neither generation nor feed
+    ever materializes a per-row array object."""
+    import pyarrow as pa
+
+    for batch in batches:
+        if not batch.num_rows:
+            continue
+        ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = row_lengths(ids).astype(np.int64)
         srcs = row_sources(ids)
-        tokens = np.empty(ids.size, dtype=object)
+        off = np.zeros(ids.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        flat = np.empty(int(off[-1]), dtype=np.int32)
         for n in np.unique(lens):
             sel = np.where(lens == n)[0]
-            block = gen_tokens_block(ids[sel], int(n))
-            for j, r in enumerate(sel):
-                tokens[r] = block[j]
-        yield pd.DataFrame(
-            {
-                "doc_id": [f"doc{i:012d}" for i in ids],
-                "tokens": tokens,
-                "n_tok": lens,
-                "source": srcs,
-            }
-        )
+            n = int(n)
+            block = gen_tokens_block(ids[sel], n)
+            idx = (off[:-1][sel][:, None] + np.arange(n)).ravel()
+            flat[idx] = block.ravel()
+        doc_id = np.char.add("doc", np.char.zfill(ids.astype("U12"), 12))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(doc_id),
+             pa.ListArray.from_arrays(pa.array(off.astype(np.int32)),
+                                      pa.array(flat)),
+             pa.array(lens.astype(np.int32)),
+             pa.array(srcs)],
+            names=["doc_id", "tokens", "n_tok", "source"])
 
 
 def sequences_df(
@@ -57,7 +68,7 @@ def sequences_df(
         # feed overhead outweighs the extra parallelism)
         partitions = max(1, min(3 * cores, max(n_rows // 1024, 1)))
     rng = spark.range(start, start + n_rows, 1, partitions)
-    return rng.mapInPandas(_gen_partition, SEQUENCES_SCHEMA)
+    return rng.mapInArrow(_gen_partition, SEQUENCES_SCHEMA)
 
 
 def sequences_local_pandas(n_rows: int, start: int = 0) -> pd.DataFrame:
