@@ -166,53 +166,29 @@ def _pairs_tail_sql(dialect: str, src: str = "bands") -> str:
 
 
 def _minhash_pairs_sql(dialect: str) -> str:
-    """Single-statement pair query (the DuckDB oracle form; also the
-    Spark fallback).  Spark inlines CTEs per reference, so carrying
+    """Spark inlines CTEs per reference, so joining ``sigs`` back onto the
+    candidates re-ran the whole shingle->hash->min pipeline twice more
+    (4 scans total in the round-1 plan, zero ReusedExchange).  Carrying
     ``mh`` through the band rows and deduping with group-by + first()
-    keeps this at two pipeline executions (the x and y join sides); the
-    executed Spark path (q_minhash_lsh) goes further and materializes
-    the bands relation once — see materialize_bands."""
+    halves the pipeline executions and drops the distinct+2 joins.
+
+    The remaining two executions (the self-join's x and y sides) are
+    deliberate: a persist()+count materialization of the bands relation
+    was tried and MEASURED 2x slower at sf0.1 in an interleaved
+    same-session comparison (11 s vs 5.3 s) -- the cache-build barrier
+    serializes work the planner otherwise overlaps across cores, and the
+    columnar cache encode costs more than the second pipeline run.  At
+    10^12 rows the signature store becomes a WRITTEN table (a real
+    materialization, not session cache), which has no barrier on the
+    query path."""
     mh = _minhash_sql_spark() if dialect == "spark" else _minhash_sql_duck()
     bands = _bands_cte(mh, dialect)
     return f"with {bands}, {_pairs_tail_sql(dialect)}"
 
 
-def materialize_bands(spark: SparkSession) -> DataFrame:
-    """Compute the LSH bands relation ONCE and persist it.
-
-    bands is tiny relative to the corpus (N_BANDS rows of
-    (doc_id, mh[16], band, band_hash) per document — no text), but every
-    un-materialized consumer re-runs the full shingle->md5->min pipeline
-    per reference because Spark inlines CTEs.  In a 100 TB deployment
-    this relation is a derived TABLE you write next to the corpus (the
-    signature store every LSH dedup system keeps); persist() +
-    eager count is the local analogue.  The count also closes the
-    cache-population race: without it the self-join's two sides can both
-    start computing the uncached pipeline."""
-    from pyspark.storagelevel import StorageLevel
-
-    while _BANDS_CACHE:  # drop the previous call's persisted relation
-        try:
-            _BANDS_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    df = spark.sql(
-        f"with {_bands_cte(_minhash_sql_spark(), 'spark')} "
-        "select doc_id, mh, band, band_hash from bands"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    df.createOrReplaceTempView("bands_mat")
-    _BANDS_CACHE.append(df)
-    return df
-
-
-_BANDS_CACHE: list = []
-
-
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    materialize_bands(spark)
-    return spark.sql(f"with {_pairs_tail_sql('spark', 'bands_mat')}")
+    return spark.sql(_minhash_pairs_sql("spark"))
 
 
 def _simhash_sql(dialect: str) -> str:
@@ -360,11 +336,7 @@ def _cross_check_sql(dialect: str) -> str:
     re-scored by embedding cosine (documents.doc_id == embeddings.vec_id in
     the driver tables) — the standard 'cheap recall, exact verify' dedup
     pipeline shape for training data."""
-    # executed Spark path reads the persisted bands relation
-    # (materialize_bands) instead of re-running the shingle pipeline on
-    # both join sides; the DuckDB oracle keeps the single-statement form
-    pairs = (f"with {_pairs_tail_sql('spark', 'bands_mat')}"
-             if dialect == "spark" else _minhash_pairs_sql(dialect))
+    pairs = _minhash_pairs_sql(dialect)
     if dialect == "spark":
         dot = ("aggregate(zip_with(ea.embedding, eb.embedding, "
                "(x, y) -> cast(x as double) * cast(y as double)), "
@@ -397,7 +369,6 @@ def _cross_check_sql(dialect: str) -> str:
 
 def q_dedup_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    materialize_bands(spark)
     return spark.sql(_cross_check_sql("spark"))
 
 
