@@ -96,6 +96,10 @@ _RT_SCHEMA = "doc_id string, ok int, raw_bytes long, dod_bytes long"
 
 
 def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # deliberately the PURE-PYTHON decoder (not the batched C reader):
+    # the payloads were written by the C encoder, so an independent
+    # implementation closes the loop — a shared C bug cannot self-verify.
+    # 2% sample; throughput is irrelevant here.
     for pdf in batches:
         oks, rb, db = [], [], []
         for sm, blob in zip(pdf["smoothed"], pdf["smoothed_dod"]):
@@ -137,6 +141,11 @@ def q_incremental_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench.  On a real deployment the source is a stored table and this is
     a non-issue; the cache is the local-synthesis analogue of that table.
     """
+    # drop any prior query's leftover caches first: QUERIES run
+    # sequentially in one shared session (driver/bench), and a pinned
+    # cache from an earlier entry would shrink execution memory for the
+    # timed work that follows
+    spark.catalog.clearCache()
     full = _raw(spark, sf_dir).persist()
     full.count()  # eager: validate's broadcast job + agg job otherwise race
     # to build the cache and each regenerates its partitions
@@ -259,6 +268,7 @@ def q_sgrid_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     step on rare rows (measured 2/4000 at sf0.01, |delta| = 1).  The
     reference's own sgrid re-runs carry the identical rounding;
     tests/test_entry.py pins the tolerance."""
+    spark.catalog.clearCache()  # see q_incremental_forward
     raw = sequences_df(
         spark, min(n_rows_for_sf(sf_of(sf_dir)), 4000)).persist()
     first = rollup_dataframe(raw, CFG_SMOOTH).select(

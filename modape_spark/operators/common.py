@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -63,11 +65,26 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     the Repartition node to the scan.  On a real many-file table the scan
     already yields >= cores splits and this is a no-op."""
     cores = spark.sparkContext.defaultParallelism
-    # file count is a metadata-only proxy for scan splits — no job, and
-    # crucially no RDD conversion per view registration (df.rdd forced a
-    # full plan translation on every register_views call)
+    # metadata-only proxy for scan splits — no job, and crucially no RDD
+    # conversion per view registration (df.rdd forced a full plan
+    # translation on every register_views call).  Large files split on
+    # maxPartitionBytes boundaries (parquet is splittable), so a single
+    # multi-GB file is NOT one split — estimate per-file splits from the
+    # on-disk size, falling back to file count when sizes are unreadable.
     try:
-        n_splits = len(df.inputFiles())
+        files = df.inputFiles()
+        try:
+            mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                      .removesuffix("b"))
+        except Exception:
+            mpb = 128 * 1024 * 1024
+        n_splits = 0
+        for f in files:
+            path = f.removeprefix("file:")
+            try:
+                n_splits += max(1, -(-os.path.getsize(path) // mpb))
+            except OSError:
+                n_splits += 1
     except Exception:
         n_splits = 0
     if n_splits >= min(cores, 8):

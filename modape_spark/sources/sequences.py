@@ -43,7 +43,13 @@ def _gen_partition(batches) -> Iterator:
             block = gen_tokens_block(ids[sel], n)
             idx = (off[:-1][sel][:, None] + np.arange(n)).ravel()
             flat[idx] = block.ravel()
-        doc_id = np.char.add("doc", np.char.zfill(ids.astype("U12"), 12))
+        # np.char.zfill TRUNCATES strings longer than its width, so it is
+        # only applied where padding is actually needed; ids >= 10^12
+        # keep their natural digits — f"{i:012d}" semantics, collision-free
+        # at any int64 id
+        s = ids.astype("U19")
+        doc_id = np.char.add("doc", np.where(np.char.str_len(s) >= 12, s,
+                                             np.char.zfill(s, 12)))
         yield pa.RecordBatch.from_arrays(
             [pa.array(doc_id),
              pa.ListArray.from_arrays(pa.array(off.astype(np.int32)),

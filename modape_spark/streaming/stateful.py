@@ -120,6 +120,7 @@ def streaming_exact_dedup(spark: SparkSession, landing_dir: str,
         .withColumn("content_hash", F.xxhash64("text"))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
+        .drop("content_hash")  # dedup key only — keep the landed schema clean
     )
 
 

@@ -211,11 +211,13 @@ def process_rollup_arrow(batch, cfg: SmoothConfig, compress: bool):
     names = batch.schema.names
     tok = batch.column(names.index("tokens"))
     if tok.null_count:
-        # null token rows never occur in the contract tables; route the
-        # odd batch through the pandas oracle path rather than guessing
-        return pa.RecordBatch.from_pandas(
-            process_rollup_pdf(batch.to_pandas(), cfg, compress),
-            preserve_index=False)
+        # null token rows never occur in the contract tables, and the
+        # kernel has no meaningful semantics for them — fail loudly
+        # rather than emit garbage for the row
+        raise ValueError(
+            f"{tok.null_count} null tokens row(s) in kernel input — "
+            "filter or repair upstream; the rollup kernel requires a "
+            "token array per row")
     # pyarrow slices .offsets but not .values, so values[off[i]:off[i+1]]
     # is correct for sliced batches too
     off = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -31,11 +31,16 @@ BATCH = 128
 
 def _work(args):
     start, n_rows = args
+    # pyspark-free config equal to entry_queries.CFG_ALL — importing
+    # entry_queries here would pull the full pyspark import into every
+    # spawned worker's first task
     from modape_spark.compression import encode_dod_rows
     from modape_spark.constants import STRES_DEKAD, STRES_PENTAD
-    from modape_spark.entry_queries import CFG_ALL
     from modape_spark.fixtures import gen_tokens_block, row_lengths
-    from modape_spark.rollup import process_length_group
+    from modape_spark.rollup import SmoothConfig, process_length_group
+
+    CFG_ALL = SmoothConfig(soptimize=True, p=0.90,
+                           tempint=(STRES_DEKAD, STRES_PENTAD))
 
     ids = np.arange(start, start + n_rows, dtype=np.int64)
     lens = row_lengths(ids)
@@ -65,6 +70,11 @@ def run_level(workers: int, total_rows: int) -> float:
     tasks = [(s, min(chunk, total_rows - s))
              for s in range(0, total_rows, chunk)]
     with mp.get_context("spawn").Pool(workers, initializer=_warm) as pool:
+        # warm-up OUTSIDE the timed window: spin every worker through a
+        # real task so module imports + ckernel dlopen (per-process
+        # one-time costs) don't land in the measurement — same protocol
+        # as the Spark bench's full-width UDF warm-up
+        pool.map(_work, [(10**9 + 512 * i, 256) for i in range(workers)])
         s0, t0 = _steal(), time.time()
         n = sum(pool.map(_work, tasks))
         dt, sj = time.time() - t0, _steal() - s0

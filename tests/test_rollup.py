@@ -125,3 +125,15 @@ def test_nsmooth_window():
     cfg_full = SmoothConfig(soptimize=False, svalue=1.0)
     Zs, _, cov = smooth_block(Y[:, -16:], cfg_full)
     np.testing.assert_array_equal(res.smoothed, np.rint(Zs).astype(np.int32))
+
+
+def test_sequences_doc_ids_do_not_truncate_beyond_12_digits(spark):
+    """ids >= 10^12 must widen like f'{i:012d}', never truncate into
+    colliding doc_ids (np U12-cast regression guard)."""
+    from modape_spark.sources.sequences import sequences_df
+
+    big = 10**12 + 5
+    rows = sequences_df(spark, 3, partitions=1, start=big).select("doc_id").collect()
+    got = sorted(r["doc_id"] for r in rows)
+    assert got == [f"doc{big + j:012d}" for j in range(3)]
+    assert got[0] == "doc1000000000005"

@@ -96,7 +96,7 @@ def test_arrow_path_on_sliced_batch():
     _assert_batches_equal(got, want)
 
 
-def test_arrow_path_null_tokens_falls_back():
+def test_arrow_path_null_tokens_raises():
     pdf = _fixture_pdf(40)
     schema = pa.schema([
         ("doc_id", pa.string()),
@@ -110,9 +110,8 @@ def test_arrow_path_null_tokens_falls_back():
         [pa.array(pdf["doc_id"]), pa.array(tok, type=pa.list_(pa.int32())),
          pa.array(pdf["n_tok"], type=pa.int32()), pa.array(pdf["source"])],
         schema=schema)
-    # the fallback path routes through pandas; a null row would raise in
-    # process_length_group, and THAT is the contract: no silent garbage
-    with pytest.raises(Exception):
+    # contract: fail loudly, never emit garbage for a null row
+    with pytest.raises(ValueError, match="null tokens"):
         process_rollup_arrow(batch, CFG_ALL, True)
 
 
