@@ -114,3 +114,28 @@ def test_pair_queries_not_quadratic(spark):
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_rollup_hot_path_plan_shape(spark, tmp_path):
+    """The materialize hot path must stay scan -> MapInArrow with NO
+    exchange anywhere (the 10^12-row plan shape: N independent pipelines
+    per executor; BENCH/PLANS.md).  Pins both the Arrow boundary and the
+    zero-shuffle property against regressions."""
+    from pyspark.sql import functions as F
+
+    from modape_spark.entry_queries import CFG_ALL
+    from modape_spark.sources.sequences import sequences_df
+    from modape_spark.tiers import rollup_dataframe, with_bucket
+
+    raw_dir = str(tmp_path / "raw")
+    with_bucket(sequences_df(spark, 200), 4).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(raw_dir)
+    raw = spark.read.parquet(raw_dir)
+
+    rolled = with_bucket(rollup_dataframe(raw, CFG_ALL), 4)
+    plan = rolled._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange" not in plan  # kernel pass is shuffle-free
+    # the pre_bucketed write path adds nothing above this plan, so the
+    # whole materialize job is scan -> kernel -> write with no exchange
