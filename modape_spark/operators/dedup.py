@@ -191,6 +191,37 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_minhash_pairs_sql("spark"))
 
 
+def q_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-row form of the LSH pair query: the signature/bands
+    relation is WRITTEN once as a parquet table (the signature store
+    every production dedup system keeps next to the corpus — one
+    shingle-pipeline execution total), then the candidate self-join runs
+    against the stored table, laid out ON the join key so both scan
+    sides arrive pre-bucketed by (band, band_hash).  Identical rows to
+    docs_minhash_lsh (same DuckDB oracle); this entry exists so the
+    stored-table plan shape itself sits under the driver's value-hash
+    check."""
+    import shutil
+    import tempfile
+
+    register_views(spark, sf_dir)
+    while _SIGSTORE_DIRS:  # previous call's store; keep ours lazy-readable
+        shutil.rmtree(_SIGSTORE_DIRS.pop(), ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="modape_sigstore_")
+    _SIGSTORE_DIRS.append(tmp)
+    spark.sql(
+        f"with {_bands_cte(_minhash_sql_spark(), 'spark')} "
+        "select doc_id, mh, band, band_hash from bands"
+    ).repartition("band", "band_hash") \
+        .write.mode("overwrite").parquet(f"{tmp}/bands")
+    spark.read.parquet(f"{tmp}/bands") \
+        .createOrReplaceTempView("bands_stored")
+    return spark.sql(f"with {_pairs_tail_sql('spark', 'bands_stored')}")
+
+
+_SIGSTORE_DIRS: list = []
+
+
 def _simhash_sql(dialect: str) -> str:
     """16-bit SimHash (Charikar 2002) per document from shingle hashes.
 
@@ -423,6 +454,7 @@ QUERIES = {
     "docs_dedup_clusters": q_dedup_clusters,
     "dedup_cross_check": q_dedup_cross_check,
     "docs_minhash_lsh": q_minhash_lsh,
+    "docs_minhash_lsh_stored": q_minhash_lsh_stored,
     "docs_simhash": q_simhash,
     "docs_simhash_pairs": q_simhash_pairs,
     "docs_ngram_jaccard": q_ngram_jaccard,
@@ -433,6 +465,7 @@ ORACLES = {
     "docs_dedup_clusters": _clusters_oracle(),
     "dedup_cross_check": _cross_check_sql("duck"),
     "docs_minhash_lsh": _minhash_pairs_sql("duck"),
+    "docs_minhash_lsh_stored": _minhash_pairs_sql("duck"),
     "docs_simhash": _simhash_sql("duck"),
     "docs_simhash_pairs": _simhash_pairs_sql("duck"),
     "docs_ngram_jaccard": _jaccard_sql("duck"),
