@@ -80,6 +80,11 @@ def main() -> None:
     rollup_dataframe(raw.sample(0.005), CFG_ALL).count()
 
     def timed(name, fn):
+        # harness-level cache hygiene: a query that persist()s (e.g.
+        # incremental_forward's source cache) must not shrink execution
+        # memory for the queries timed AFTER it — clearing belongs here,
+        # at the harness boundary, not inside library query functions
+        spark.catalog.clearCache()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)

@@ -25,13 +25,9 @@ from .compression import decode_dod
 from .constants import STRES_DEKAD, STRES_PENTAD
 from .fixtures import n_rows_for_sf
 from .incremental import append_suffixes, incremental_rollup
-from .rollup import SmoothConfig
+from .rollup import CFG_ALL, CFG_FIXED, CFG_SMOOTH, SmoothConfig
 from .sources.sequences import sequences_df
 from .tiers import rollup_dataframe
-
-CFG_ALL = SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD, STRES_PENTAD))
-CFG_SMOOTH = SmoothConfig(soptimize=True, p=0.90, tempint=())
-CFG_FIXED = SmoothConfig(soptimize=False, svalue=1.0, tempint=(STRES_DEKAD,))
 
 
 def sf_of(sf_dir: str) -> float:
@@ -141,11 +137,6 @@ def q_incremental_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench.  On a real deployment the source is a stored table and this is
     a non-issue; the cache is the local-synthesis analogue of that table.
     """
-    # drop any prior query's leftover caches first: QUERIES run
-    # sequentially in one shared session (driver/bench), and a pinned
-    # cache from an earlier entry would shrink execution memory for the
-    # timed work that follows
-    spark.catalog.clearCache()
     full = _raw(spark, sf_dir).persist()
     full.count()  # eager: validate's broadcast job + agg job otherwise race
     # to build the cache and each regenerates its partitions
@@ -268,7 +259,6 @@ def q_sgrid_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     step on rare rows (measured 2/4000 at sf0.01, |delta| = 1).  The
     reference's own sgrid re-runs carry the identical rounding;
     tests/test_entry.py pins the tolerance."""
-    spark.catalog.clearCache()  # see q_incremental_forward
     raw = sequences_df(
         spark, min(n_rows_for_sf(sf_of(sf_dir)), 4000)).persist()
     first = rollup_dataframe(raw, CFG_SMOOTH).select(

@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -65,29 +63,23 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     the Repartition node to the scan.  On a real many-file table the scan
     already yields >= cores splits and this is a no-op."""
     cores = spark.sparkContext.defaultParallelism
-    # metadata-only proxy for scan splits — no job, and crucially no RDD
-    # conversion per view registration (df.rdd forced a full plan
-    # translation on every register_views call).  Large files split on
-    # maxPartitionBytes boundaries (parquet is splittable), so a single
-    # multi-GB file is NOT one split — estimate per-file splits from the
-    # on-disk size, falling back to file count when sizes are unreadable.
+    # FILE count is the metadata-only proxy — no job, and crucially no
+    # RDD conversion per view registration (df.rdd forced a full plan
+    # translation on every register_views call).  Byte-range split
+    # estimates (size / maxPartitionBytes) deliberately do NOT count:
+    # row assignment follows row-group starts, so a single-row-group
+    # file is ONE task of real work no matter how many byte ranges the
+    # scheduler cuts — exactly the fixture pathology this function
+    # exists to widen.  The trade-off: a big single-FILE multi-row-group
+    # table pays one avoidable round-robin exchange here; acceptable,
+    # because _spread only wraps the two compute-heavy tables
+    # (documents/embeddings), where single-core compute is strictly
+    # worse than an extra shuffle.
     try:
-        files = df.inputFiles()
-        try:
-            mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
-                      .removesuffix("b"))
-        except Exception:
-            mpb = 128 * 1024 * 1024
-        n_splits = 0
-        for f in files:
-            path = f.removeprefix("file:")
-            try:
-                n_splits += max(1, -(-os.path.getsize(path) // mpb))
-            except OSError:
-                n_splits += 1
+        n_files = len(df.inputFiles())
     except Exception:
-        n_splits = 0
-    if n_splits >= min(cores, 8):
+        n_files = 0
+    if n_files >= min(cores, 8):
         return df
     return df.repartition(cores)
 

@@ -194,13 +194,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 10^12-row form of the LSH pair query: the signature/bands
     relation is WRITTEN once as a parquet table (the signature store
-    every production dedup system keeps next to the corpus — one
-    shingle-pipeline execution total), then the candidate self-join runs
-    against the stored table, laid out ON the join key so both scan
-    sides arrive pre-bucketed by (band, band_hash).  Identical rows to
-    docs_minhash_lsh (same DuckDB oracle); this entry exists so the
-    stored-table plan shape itself sits under the driver's value-hash
-    check."""
+    every production dedup system keeps next to the corpus), so the
+    shingle->md5->min pipeline executes exactly ONCE; the candidate
+    self-join then reads the cheap stored table on both sides.  Plain
+    parquet carries no bucketing metadata, so the join still shuffles
+    both scan sides on (band, band_hash) — shuffling the compact
+    signature rows, not recomputing the pipeline; a deployment with a
+    catalog writes the store ``bucketBy(band, band_hash)`` and loses
+    that exchange too.  Identical rows to docs_minhash_lsh (same DuckDB
+    oracle); this entry exists so the stored-table plan sits under the
+    driver's value-hash check."""
     import shutil
     import tempfile
 
@@ -209,10 +212,11 @@ def q_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(_SIGSTORE_DIRS.pop(), ignore_errors=True)
     tmp = tempfile.mkdtemp(prefix="modape_sigstore_")
     _SIGSTORE_DIRS.append(tmp)
+    n_files = max(2, spark.sparkContext.defaultParallelism // 4)
     spark.sql(
         f"with {_bands_cte(_minhash_sql_spark(), 'spark')} "
         "select doc_id, mh, band, band_hash from bands"
-    ).repartition("band", "band_hash") \
+    ).repartition(n_files, "band") \
         .write.mode("overwrite").parquet(f"{tmp}/bands")
     spark.read.parquet(f"{tmp}/bands") \
         .createOrReplaceTempView("bands_stored")
@@ -220,6 +224,13 @@ def q_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIGSTORE_DIRS: list = []
+# the LAST store must outlive the returned lazy DataFrame (the driver
+# collects it later), so it is reaped at interpreter exit, not here
+import atexit as _atexit  # noqa: E402
+import shutil as _shutil  # noqa: E402
+
+_atexit.register(lambda: [_shutil.rmtree(d, ignore_errors=True)
+                          for d in _SIGSTORE_DIRS])
 
 
 def _simhash_sql(dialect: str) -> str:

@@ -36,6 +36,8 @@ from .constants import (
     SRANGE_HIGH_CORR,
     SRANGE_LOW_CORR,
     SRANGE_NAN_CORR,
+    STRES_DEKAD,
+    STRES_PENTAD,
     TINTERPOLATE_LAMBDA,
     TSHIFT,
 )
@@ -62,6 +64,16 @@ class SmoothConfig:
     tshift: int = TSHIFT               # shift before the daily-grid scatter
     tempint_start: str | None = None   # custom target-grid start (YYYYDDD)
     epoch: str = EPOCH_JULIAN          # julian date of token position 0
+
+
+# Canonical engine configurations — defined HERE (pyspark-free) so the
+# driver queries, the CLI, and the no-Spark scaling control all measure
+# the SAME workload by construction (a hand-copied config in the control
+# could silently drift from the engine's).
+CFG_ALL = SmoothConfig(soptimize=True, p=0.90,
+                       tempint=(STRES_DEKAD, STRES_PENTAD))
+CFG_SMOOTH = SmoothConfig(soptimize=True, p=0.90, tempint=())
+CFG_FIXED = SmoothConfig(soptimize=False, svalue=1.0, tempint=(STRES_DEKAD,))
 
 
 def smooth_block(

@@ -31,16 +31,14 @@ BATCH = 128
 
 def _work(args):
     start, n_rows = args
-    # pyspark-free config equal to entry_queries.CFG_ALL — importing
-    # entry_queries here would pull the full pyspark import into every
-    # spawned worker's first task
+    # CFG_ALL comes from the pyspark-free rollup module — the SAME
+    # object the engine runs, so the control cannot drift from the
+    # workload it claims to mirror (entry_queries would pull the full
+    # pyspark import into every spawned worker)
     from modape_spark.compression import encode_dod_rows
     from modape_spark.constants import STRES_DEKAD, STRES_PENTAD
     from modape_spark.fixtures import gen_tokens_block, row_lengths
-    from modape_spark.rollup import SmoothConfig, process_length_group
-
-    CFG_ALL = SmoothConfig(soptimize=True, p=0.90,
-                           tempint=(STRES_DEKAD, STRES_PENTAD))
+    from modape_spark.rollup import CFG_ALL, process_length_group
 
     ids = np.arange(start, start + n_rows, dtype=np.int64)
     lens = row_lengths(ids)
@@ -87,6 +85,14 @@ def run_level(workers: int, total_rows: int) -> float:
 
 
 def _warm():
+    # initializer runs ONCE per spawned worker before it takes any task,
+    # so every per-process one-time cost (module imports, ckernel
+    # build/dlopen) is guaranteed paid outside the timed window — the
+    # warm-up map alone cannot guarantee per-worker coverage (a fast
+    # worker can steal a second warm task while a slow one still spawns)
+    import modape_spark.compression  # noqa: F401
+    import modape_spark.fixtures  # noqa: F401
+    import modape_spark.rollup  # noqa: F401
     from modape_spark.ckernel import get_lib
     get_lib()
 
