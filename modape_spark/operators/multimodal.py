@@ -212,5 +212,220 @@ ORACLE_MULTIMODAL = """
 """
 
 
-QUERIES = {"multimodal_meta": q_multimodal_png}
-ORACLES = {"multimodal_meta": ORACLE_MULTIMODAL}
+# ---------------------------------------------------------------------------
+# Audio modality: real RIFF/WAVE codec (stdlib struct only)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = ("doc_id long, sr int, n_samples int, sum_s long, "
+                "sum_abs long, peak int, zero_cross int")
+
+
+def synth_pcm(doc_id: int) -> tuple[np.ndarray, int]:
+    """Deterministic 16-bit PCM per doc: closed-form in doc_id so the SQL
+    oracle recomputes every decoded stat without a decoder.
+    s[i] = ((a*i + b) % 2003) - 1001,  a = 37 + doc%11, b = doc%101."""
+    n = 400 + (doc_id % 7) * 50
+    a = 37 + (doc_id % 11)
+    b = doc_id % 101
+    i = np.arange(n, dtype=np.int64)
+    s = ((a * i + b) % 2003) - 1001
+    sr = 8000 + (doc_id % 3) * 4000
+    return s.astype(np.int16), sr
+
+
+def encode_wav(pcm: np.ndarray, sr: int) -> bytes:
+    """Canonical RIFF/WAVE container: fmt chunk (PCM mono 16-bit) + a
+    deliberate non-audio LIST chunk BEFORE data, so the decoder must walk
+    chunks by their length fields rather than assume fixed offsets."""
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    junk = b"INFOISFT" + b"modape\x00\x00"
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"LIST" + struct.pack("<I", len(junk)) + junk
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """Chunk-walking WAV parser: validates RIFF/WAVE framing, PCM mono
+    16-bit format, skips unknown chunks (incl. odd-length padding per the
+    RIFF spec), returns (sample_rate, int16 samples)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    riff_len = struct.unpack("<I", blob[4:8])[0]
+    if riff_len + 8 != len(blob):
+        raise ValueError("RIFF length mismatch")
+    pos, sr, bits, ch, fmt_code, data = 12, None, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        clen = struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+        body = blob[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # RIFF pads odd chunks
+    if fmt_code != 1 or ch != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV format ({fmt_code},{ch},{bits})")
+    if sr is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    return int(sr), np.frombuffer(data, dtype="<i2")
+
+
+def _extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].to_numpy()
+        rows = {k: [] for k in ("sr", "n_samples", "sum_s", "sum_abs",
+                                "peak", "zero_cross")}
+        for d in ids:
+            pcm, sr0 = synth_pcm(int(d))
+            blob = encode_wav(pcm, sr0)              # the "stored" bytes
+            sr, s = decode_wav(blob)                 # the REAL decode
+            s64 = s.astype(np.int64)
+            rows["sr"].append(sr)
+            rows["n_samples"].append(s.size)
+            rows["sum_s"].append(int(s64.sum()))
+            rows["sum_abs"].append(int(np.abs(s64).sum()))
+            rows["peak"].append(int(np.abs(s64).max()))
+            rows["zero_cross"].append(int((s64[:-1] * s64[1:] < 0).sum()))
+        yield pd.DataFrame({"doc_id": ids, **rows})
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_extract_audio, AUDIO_SCHEMA).orderBy("doc_id")
+
+
+# samples are ((a*i+b) % 2003) - 1001 with a = 37 + doc%11, b = doc%101,
+# n = 400 + (doc%7)*50 — every decoded stat recomputed closed-form; a
+# decoder that misparses the chunk walk or byte order hash-mismatches.
+ORACLE_AUDIO = """
+    with p as (
+        select doc_id,
+               (400 + (doc_id % 7) * 50) as n,
+               (37 + (doc_id % 11)) as a,
+               (doc_id % 101) as b
+        from documents
+    )
+    select p.doc_id,
+           cast(8000 + (p.doc_id % 3) * 4000 as int) as sr,
+           cast(p.n as int) as n_samples,
+           cast(sum((p.a * ii.i + p.b) % 2003 - 1001) as bigint) as sum_s,
+           cast(sum(abs((p.a * ii.i + p.b) % 2003 - 1001)) as bigint)
+               as sum_abs,
+           cast(max(abs((p.a * ii.i + p.b) % 2003 - 1001)) as int) as peak,
+           cast(sum(case when ii.i >= 1
+                          and ((p.a * (ii.i - 1) + p.b) % 2003 - 1001)
+                            * ((p.a * ii.i + p.b) % 2003 - 1001) < 0
+                         then 1 else 0 end) as int) as zero_cross
+    from p
+    join generate_series(0, 749) ii(i) on ii.i < p.n
+    group by p.doc_id, p.n
+    order by p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Video modality: frame container + every-kth frame sampling
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = "doc_id long, frame_ix int, px_sum long, px_corner int"
+FRAME_STEP = 3
+
+
+def synth_frame(doc_id: int, f: int, w: int, h: int) -> np.ndarray:
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    return ((doc_id * 17 + f * 29 + y * 7 + x * 13) % 256).astype(np.uint8)
+
+
+def encode_frames(doc_id: int) -> bytes:
+    """Toy frame container: magic + (n_frames, w, h) header, then one
+    length-prefixed raw grayscale payload per frame, plus a trailing
+    length-prefixed metadata record the sampler must skip by length."""
+    n_frames = 4 + doc_id % 5
+    w = 16 + doc_id % 9
+    h = 12 + doc_id % 7
+    out = [b"FRMS", struct.pack("<HHH", n_frames, w, h)]
+    for f in range(n_frames):
+        payload = synth_frame(doc_id, f, w, h).tobytes()
+        out.append(struct.pack("<I", len(payload)))
+        out.append(payload)
+    meta = b"META" + struct.pack("<q", doc_id)
+    out.append(struct.pack("<I", len(meta)))
+    out.append(meta)
+    return b"".join(out)
+
+
+def sample_frames(blob: bytes, step: int) -> tuple[int, int, list]:
+    """Walk the container by length fields and DECODE only every
+    ``step``-th frame — the frame-sampling access pattern (skipped frames
+    are seeked over, never materialized)."""
+    if blob[:4] != b"FRMS":
+        raise ValueError("not a FRMS container")
+    n_frames, w, h = struct.unpack("<HHH", blob[4:10])
+    pos, out = 10, []
+    for f in range(n_frames):
+        plen = struct.unpack("<I", blob[pos:pos + 4])[0]
+        if f % step == 0:
+            px = np.frombuffer(blob[pos + 4:pos + 4 + plen],
+                               dtype=np.uint8).reshape(h, w)
+            out.append((f, px))
+        pos += 4 + plen
+    return w, h, out
+
+
+def _extract_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids, fix, sums, corners = [], [], [], []
+        for d in pdf["doc_id"].to_numpy():
+            blob = encode_frames(int(d))
+            w, h, frames = sample_frames(blob, FRAME_STEP)
+            for f, px in frames:
+                doc_ids.append(int(d))
+                fix.append(f)
+                sums.append(int(px.sum(dtype=np.int64)))
+                corners.append(int(px[h - 1, w - 1]))
+        yield pd.DataFrame({"doc_id": doc_ids, "frame_ix": fix,
+                            "px_sum": sums, "px_corner": corners})
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (docs.mapInPandas(_extract_frames, FRAMES_SCHEMA)
+            .orderBy("doc_id", "frame_ix"))
+
+
+ORACLE_FRAMES = """
+    with p as (
+        select doc_id,
+               (4 + doc_id % 5) as n_frames,
+               (16 + doc_id % 9) as w,
+               (12 + doc_id % 7) as h
+        from documents
+    )
+    select p.doc_id,
+           cast(ff.f as int) as frame_ix,
+           cast(sum((p.doc_id * 17 + ff.f * 29 + yy.y * 7 + xx.x * 13)
+                    % 256) as bigint) as px_sum,
+           cast((p.doc_id * 17 + ff.f * 29 + (p.h - 1) * 7
+                 + (p.w - 1) * 13) % 256 as int) as px_corner
+    from p
+    join generate_series(0, 8) ff(f) on ff.f < p.n_frames and ff.f % 3 = 0
+    join generate_series(0, 18) yy(y) on yy.y < p.h
+    join generate_series(0, 24) xx(x) on xx.x < p.w
+    group by p.doc_id, ff.f, p.w, p.h
+    order by p.doc_id, frame_ix
+"""
+
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_png,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_frames": q_multimodal_frames,
+}
+ORACLES = {
+    "multimodal_meta": ORACLE_MULTIMODAL,
+    "multimodal_audio": ORACLE_AUDIO,
+    "multimodal_frames": ORACLE_FRAMES,
+}

@@ -78,3 +78,50 @@ def test_every_filter_type_present_in_stream():
     stride = px.shape[1] + 1
     ftypes = {raw[y * stride] for y in range(px.shape[0])}
     assert ftypes == {0, 1, 2, 3, 4}
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """decode(encode(pcm)) is exact, the parser walks past the deliberate
+    LIST chunk by its length field, and malformed containers raise."""
+    import numpy as np
+    import pytest
+
+    from modape_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_pcm,
+    )
+
+    for d in (0, 7, 123, 10**12 + 5):
+        pcm, sr0 = synth_pcm(d)
+        sr, out = decode_wav(encode_wav(pcm, sr0))
+        assert sr == sr0
+        assert np.array_equal(out, pcm)
+    blob = encode_wav(*synth_pcm(3)[::1])
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"JUNK" + blob[4:])
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_wav(blob[:-2])
+
+
+def test_frame_sampler_skips_by_length():
+    """Every 3rd frame decodes exactly; skipped frames and the trailing
+    metadata record are seeked over by their length prefixes."""
+    import numpy as np
+    import pytest
+
+    from modape_spark.operators.multimodal import (
+        encode_frames,
+        sample_frames,
+        synth_frame,
+    )
+
+    d = 42
+    blob = encode_frames(d)
+    w, h, frames = sample_frames(blob, 3)
+    n_frames = 4 + d % 5
+    assert [f for f, _ in frames] == [f for f in range(n_frames) if f % 3 == 0]
+    for f, px in frames:
+        assert np.array_equal(px, synth_frame(d, f, w, h))
+    with pytest.raises(ValueError, match="FRMS"):
+        sample_frames(b"XXXX" + blob[4:], 3)
