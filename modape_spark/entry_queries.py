@@ -30,6 +30,37 @@ from .sources.sequences import sequences_df
 from .tiers import rollup_dataframe
 
 
+# -- session-lifetime resource tracking -------------------------------------
+# Entry queries return LAZY DataFrames the driver collects later, so
+# (a) persist()ed inputs cannot be unpersisted inside the query that made
+# them — they are released at the START of the next entry query instead
+# (by then the previous result has been materialized; and even if not,
+# unpersist only costs recompute, never correctness), and
+# (b) temp directories a returned DataFrame reads from live until
+# interpreter exit (deleting them would break the lazy read).
+_CACHED: list = []
+_TMP_DIRS: list = []
+
+import atexit as _atexit  # noqa: E402
+import shutil as _shutil  # noqa: E402
+
+_atexit.register(lambda: [_shutil.rmtree(d, ignore_errors=True)
+                          for d in _TMP_DIRS])
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    _CACHED.append(df.persist())
+    return df
+
+
+def _release_caches() -> None:
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -137,7 +168,8 @@ def q_incremental_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench.  On a real deployment the source is a stored table and this is
     a non-issue; the cache is the local-synthesis analogue of that table.
     """
-    full = _raw(spark, sf_dir).persist()
+    _release_caches()
+    full = _track_cache(_raw(spark, sf_dir))
     full.count()  # eager: validate's broadcast job + agg job otherwise race
     # to build the cache and each regenerates its partitions
     init = (
@@ -199,7 +231,6 @@ def q_compact_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the plain arrays; the returned counters must satisfy
     n_rows == n_array_exact == n_slice_exact (north_rule token-array
     equality through encode -> disk -> decode)."""
-    import shutil
     import tempfile
 
     from .tiers import (
@@ -211,36 +242,30 @@ def q_compact_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = sequences_df(spark, min(n_rows_for_sf(sf_of(sf_dir)), 2000))
+    # the returned aggregation is LAZY and reads the tier parquet below, so
+    # the directory must outlive this call — tracked for atexit cleanup
     tmp = tempfile.mkdtemp(prefix="modape_compact_")
-    try:
-        comb = f"{tmp}/comb"
-        materialize_rollup(raw, comb, CFG_FIXED, n_buckets=8)
-        compact = write_tier_tables(spark, comb, f"{tmp}/tiers",
-                                    tiers=("dekad",), compact=True)["dekad"]
-        plain = tier_view(spark, comb, "dekad").select(
-            "doc_id", F.col("dekad").alias("arr_plain"))
-        back = read_tier_compact(spark, compact, "dekad").select(
-            "doc_id", F.col("dekad").alias("arr_c"))
-        sl = export_compact_slice(spark, compact, "dekad", 1).select(
-            "doc_id", F.col("value").alias("v1"))
-        j = plain.join(back, "doc_id").join(sl, "doc_id")
-        row = j.agg(
-            F.count("*").alias("n_rows"),
-            F.sum((F.col("arr_plain") == F.col("arr_c")).cast("long"))
-             .alias("n_array_exact"),
-            F.sum(F.try_element_at("arr_plain", F.lit(1))
-                  .eqNullSafe(F.col("v1")).cast("long"))
-             .alias("n_slice_exact"),
-            F.sum(_checksum("arr_c")).alias("compact_checksum"),
-        ).collect()[0]
-        return spark.createDataFrame(
-            [(int(row["n_rows"]), int(row["n_array_exact"]),
-              int(row["n_slice_exact"]), int(row["compact_checksum"]))],
-            "n_rows long, n_array_exact long, n_slice_exact long, "
-            "compact_checksum long",
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    _TMP_DIRS.append(tmp)
+    comb = f"{tmp}/comb"
+    materialize_rollup(raw, comb, CFG_FIXED, n_buckets=8)
+    compact = write_tier_tables(spark, comb, f"{tmp}/tiers",
+                                tiers=("dekad",), compact=True)["dekad"]
+    plain = tier_view(spark, comb, "dekad").select(
+        "doc_id", F.col("dekad").alias("arr_plain"))
+    back = read_tier_compact(spark, compact, "dekad").select(
+        "doc_id", F.col("dekad").alias("arr_c"))
+    sl = export_compact_slice(spark, compact, "dekad", 1).select(
+        "doc_id", F.col("value").alias("v1"))
+    j = plain.join(back, "doc_id").join(sl, "doc_id")
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("arr_plain") == F.col("arr_c")).cast("long"))
+         .alias("n_array_exact"),
+        F.sum(F.try_element_at("arr_plain", F.lit(1))
+              .eqNullSafe(F.col("v1")).cast("long"))
+         .alias("n_slice_exact"),
+        F.sum(_checksum("arr_c")).alias("compact_checksum"),
+    )
 
 
 def q_sgrid_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,13 +284,14 @@ def q_sgrid_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     step on rare rows (measured 2/4000 at sf0.01, |delta| = 1).  The
     reference's own sgrid re-runs carry the identical rounding;
     tests/test_entry.py pins the tolerance."""
-    raw = sequences_df(
-        spark, min(n_rows_for_sf(sf_of(sf_dir)), 4000)).persist()
-    first = rollup_dataframe(raw, CFG_SMOOTH).select(
+    _release_caches()
+    raw = _track_cache(sequences_df(
+        spark, min(n_rows_for_sf(sf_of(sf_dir)), 4000)))
+    first = _track_cache(rollup_dataframe(raw, CFG_SMOOTH).select(
         "doc_id", "covered",
         F.col("sopt_log10"),
         _checksum("smoothed").alias("sum_opt"),
-    ).persist()
+    ))
     state = first.select("doc_id", "sopt_log10")
     forward = rollup_dataframe(
         raw.join(state, "doc_id"),

@@ -113,9 +113,13 @@ def connected_components(
         sig = _signature(e)
         if sig == last_sig:
             # signature stable across a check interval: confirm with one
-            # extra round (consecutive equality == fixpoint certificate)
+            # extra round.  The confirmation is EXACT set equality (two
+            # anti-joins over the fixpoint-sized — i.e. small — edge set),
+            # so a 2^-64 hash collision between the periodic signatures
+            # cannot certify a false fixpoint; the cheap signature only
+            # gates WHEN the exact check runs.
             e2 = _small_star(_large_star(e)).localCheckpoint()
-            if _signature(e2) == sig:
+            if (e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()):
                 e = e2
                 converged = True
                 break

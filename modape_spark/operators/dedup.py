@@ -204,12 +204,13 @@ def q_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     that exchange too.  Identical rows to docs_minhash_lsh (same DuckDB
     oracle); this entry exists so the stored-table plan sits under the
     driver's value-hash check."""
-    import shutil
     import tempfile
 
     register_views(spark, sf_dir)
-    while _SIGSTORE_DIRS:  # previous call's store; keep ours lazy-readable
-        shutil.rmtree(_SIGSTORE_DIRS.pop(), ignore_errors=True)
+    # every call's store lives until interpreter exit: a lazy DataFrame
+    # returned by an EARLIER call may be executed after a later call, so
+    # no store is reaped mid-session (the stores are small signature
+    # tables; atexit below owns cleanup)
     tmp = tempfile.mkdtemp(prefix="modape_sigstore_")
     _SIGSTORE_DIRS.append(tmp)
     n_files = max(2, spark.sparkContext.defaultParallelism // 4)

@@ -259,8 +259,15 @@ def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(blob):
         cid = blob[pos:pos + 4]
         clen = struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+        if pos + 8 + clen > len(blob):
+            # an inner length overrunning the blob must never silently
+            # truncate a chunk (a corrupt data chunk would otherwise yield
+            # fewer samples without error)
+            raise ValueError(f"chunk {cid!r} length {clen} overruns payload")
         body = blob[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("fmt chunk shorter than PCM header")
             fmt_code, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
