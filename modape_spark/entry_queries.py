@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .compression import decode_dod
 from .constants import STRES_DEKAD, STRES_PENTAD
 from .fixtures import n_rows_for_sf
+from .grids import grid_for_length
 from .incremental import append_suffixes, incremental_rollup
 from .rollup import CFG_ALL, CFG_FIXED, CFG_SMOOTH, SmoothConfig
 from .sources.sequences import sequences_df
@@ -311,6 +312,145 @@ def q_sgrid_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tier_grid_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural surface of the tier path under a REAL DuckDB oracle:
+    per-sequence target-grid shape (dekad/pentad array lengths from the
+    actual kernel output, first/last target julian dates and daily-grid
+    span from grids.py) — pure calendar math from n_tok
+    (reference utils.py:64-222 DateHelper), so the oracle recomputes
+    everything closed-form in SQL: the splitmix64 length assignment
+    (fixtures.row_lengths), the rtres-day raw axis that restarts at day
+    001 each calendar year (utils.py:173-187 tvec), and the dekad/pentad
+    calendar grids clipped to the daily span (utils.py:189-222).
+
+    Sequence ids are keyed to documents.doc_id (contiguous 0..N-1), which
+    makes the oracle independent of the scale factor.  dekad_total /
+    pentad_total come from size() of the kernel's output arrays — a grid
+    misalignment anywhere in the scatter/gather path changes them."""
+    from .fixtures import LENGTHS
+    from .operators.common import table as _table
+
+    n_docs = _table(spark, sf_dir, "documents").count()
+    rolled = rollup_dataframe(sequences_df(spark, n_docs), CFG_ALL)
+    dims = []
+    for n in sorted(LENGTHS):
+        gd = grid_for_length(n, STRES_DEKAD)
+        gp = grid_for_length(n, STRES_PENTAD)
+        dims.append((n, gd.target_dates[0], gd.target_dates[-1],
+                     gp.target_dates[0], gp.target_dates[-1], gd.n_daily))
+    dim = spark.createDataFrame(
+        dims,
+        "n_tok int, dekad_first string, dekad_last string, "
+        "pentad_first string, pentad_last string, n_daily int")
+    return (
+        rolled.select(
+            F.expr("cast(substring(doc_id, 4) as bigint)").alias("doc_id"),
+            "n_tok",
+            F.size("dekad").alias("dekad_total"),
+            F.size("pentad").alias("pentad_total"))
+        .join(F.broadcast(dim), "n_tok")
+        .select("doc_id", "n_tok", "dekad_total", "pentad_total",
+                "dekad_first", "dekad_last", "pentad_first", "pentad_last",
+                "n_daily")
+        .orderBy("doc_id"))
+
+
+def _grid_shape_oracle() -> str:
+    """Closed-form DuckDB recomputation of q_tier_grid_shape.
+
+    splitmix64 runs in exact 2^64 arithmetic via hugeint with a 32-bit
+    split multiply (DuckDB raises on native 64-bit overflow); the float64
+    threshold comparison then matches numpy bit-for-bit (same IEEE ops).
+    The raw axis is every date >= epoch with (dayofyear-1) % rtres == 0 —
+    exactly the per-year-restarting tvec grid — and the target grids are
+    the day-in-(5,15,25) / day-in-(3,8,13,18,23,28) calendar dates inside
+    [epoch, last_raw + rtres], capped at year(last_raw) (the reference
+    builds target years only through yrmax, so a stop date spilling into
+    January of the next year must not admit its targets)."""
+    import datetime as _dt
+
+    from .constants import EPOCH_JULIAN, RTRES
+    from .fixtures import SEED
+
+    epoch = _dt.datetime.strptime(EPOCH_JULIAN, "%Y%j").date().isoformat()
+    base1 = (1 * 0xD1B54A32D192ED03 + SEED * 0x8CB92BA72F3D8DD7) % (1 << 64)
+    add = (base1 + 0x9E3779B97F4A7C15) % (1 << 64)
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m64 = "18446744073709551616"
+
+    def mulmod(x: str, c: int) -> str:
+        return (f"(((({x}) % 4294967296) * {c}::hugeint + "
+                f"(((({x}) // 4294967296) * {c}::hugeint) % 4294967296) "
+                f"* 4294967296) % {m64})")
+
+    def xshift(x: str, k: int) -> str:
+        return f"xor(({x})::ubigint, (({x})::ubigint >> {k}))::hugeint"
+
+    return f"""
+        with s1 as (
+            select doc_id as doc_num,
+                   (doc_id::hugeint + {add}::hugeint) % {m64} as x
+            from documents
+        ),
+        s2 as (select doc_num, {xshift('x', 30)} as x from s1),
+        s3 as (select doc_num, {mulmod('x', c1)} as x from s2),
+        s4 as (select doc_num, {xshift('x', 27)} as x from s3),
+        s5 as (select doc_num, {mulmod('x', c2)} as x from s4),
+        s6 as (select doc_num, {xshift('x', 31)} as x from s5),
+        lens as (
+            select doc_num,
+                   case when u < 85 then 742 when u < 90 then 16
+                        when u < 95 then 64 else 128 end as n_tok
+            from (select doc_num,
+                         (x::double / 18446744073709551616.0) * 100.0 as u
+                  from s6)
+        ),
+        cal as (
+            select unnest(generate_series(date '{epoch}', date '2020-12-31',
+                                          interval 1 day))::date as d
+        ),
+        raw as (
+            select d, row_number() over (order by d) as pos
+            from cal where (dayofyear(d) - 1) % {RTRES} = 0
+        ),
+        per as (
+            select l.doc_num, l.n_tok, r.d as last_raw,
+                   (r.d + interval {RTRES} day)::date as stop
+            from lens l join raw r on r.pos = l.n_tok
+        ),
+        dek as (
+            select p.doc_num, count(*) as n,
+                   min(c.d) as first_d, max(c.d) as last_d
+            from per p join cal c
+              on c.d <= p.stop and year(c.d) <= year(p.last_raw)
+             and day(c.d) in (5, 15, 25)
+            group by p.doc_num
+        ),
+        pen as (
+            select p.doc_num, count(*) as n,
+                   min(c.d) as first_d, max(c.d) as last_d
+            from per p join cal c
+              on c.d <= p.stop and year(c.d) <= year(p.last_raw)
+             and day(c.d) in (3, 8, 13, 18, 23, 28)
+            group by p.doc_num
+        )
+        select p.doc_num as doc_id,
+               cast(p.n_tok as int) as n_tok,
+               cast(d.n as int) as dekad_total,
+               cast(q.n as int) as pentad_total,
+               strftime(d.first_d, '%Y%j') as dekad_first,
+               strftime(d.last_d, '%Y%j') as dekad_last,
+               strftime(q.first_d, '%Y%j') as pentad_first,
+               strftime(q.last_d, '%Y%j') as pentad_last,
+               cast(date_diff('day', date '{epoch}', p.stop) + 1 as int)
+                   as n_daily
+        from per p
+        join dek d on d.doc_num = p.doc_num
+        join pen q on q.doc_num = p.doc_num
+        order by doc_id
+    """
+
+
 QUERIES = {
     "tier_smoothed_optvp": q_tier_smoothed,
     "lineage_resume": q_lineage_resume,
@@ -321,7 +461,12 @@ QUERIES = {
     "incremental_forward": q_incremental_forward,
     "tier_compact_readback": q_compact_readback,
     "tier_sgrid_forward": q_sgrid_forward,
+    "tier_grid_shape": q_tier_grid_shape,
 }
 
-# non-SQL-expressible (sequential banded solver) -> no oracle entries
-ORACLES: dict[str, str] = {}
+# the kernel-numeric entries are non-SQL-expressible (sequential banded
+# solver) -> rows-only; the grid STRUCTURE is calendar math and carries a
+# real closed-form oracle
+ORACLES: dict[str, str] = {
+    "tier_grid_shape": _grid_shape_oracle(),
+}

@@ -99,3 +99,18 @@ def test_sgrid_forward_parity_tolerance(spark):
     mism = [d for d in deltas if d]
     assert max(deltas, default=0) <= 2
     assert len(mism) <= max(1, len(rows) // 200)  # <= 0.5% of rows
+
+
+def test_grid_shape_golden(spark):
+    """Pin the calendar golden numbers for the fixture lengths (derived
+    from the reference DateHelper semantics: epoch 2002185, rtres 8,
+    dekad days 5/15/25, pentad days 3/8/13/18/23/28)."""
+    rows = entry_mod.queries()["tier_grid_shape"](spark, SF_DIR).collect()
+    by_len = {r["n_tok"]: (r["dekad_total"], r["pentad_total"], r["n_daily"],
+                           r["dekad_first"], r["dekad_last"]) for r in rows}
+    assert by_len[742] == (581, 1161, 5893, "2002186", "2018227")
+    for n, exp in ((16, (13, 25, 129, "2002186", "2002309")),
+                   (64, (51, 100, 510, "2002186", "2003329")),
+                   (128, (101, 200, 1017, "2002186", "2005105"))):
+        if n in by_len:
+            assert by_len[n] == exp, n
