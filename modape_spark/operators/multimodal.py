@@ -426,13 +426,138 @@ ORACLE_FRAMES = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-modal dedup: modality payload hashes joined to the documents
+# exact-dedup path
+# ---------------------------------------------------------------------------
+
+XMODAL_SCHEMA = ("doc_id long, audio_md5 string, frames_md5 string, "
+                 "sr int, fw int, fh int")
+
+
+def _extract_xmodal(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-doc modality content hashes through the REAL codecs: md5 of the
+    encoded WAV payload bytes, and md5 of the concatenated SAMPLED frame
+    payloads (content hash of what the sampler decodes — deliberately
+    excludes the container's trailing metadata record, which embeds
+    doc_id and would make every payload trivially unique)."""
+    import hashlib
+
+    for pdf in batches:
+        ids = pdf["doc_id"].to_numpy()
+        rows = {k: [] for k in ("audio_md5", "frames_md5", "sr", "fw", "fh")}
+        for d in ids:
+            pcm, sr0 = synth_pcm(int(d))
+            blob = encode_wav(pcm, sr0)
+            sr, _ = decode_wav(blob)                 # decoded, not assumed
+            fblob = encode_frames(int(d))
+            w, h, frames = sample_frames(fblob, FRAME_STEP)
+            rows["audio_md5"].append(hashlib.md5(blob).hexdigest())
+            rows["frames_md5"].append(
+                hashlib.md5(b"".join(px.tobytes() for _, px in frames))
+                .hexdigest())
+            rows["sr"].append(sr)
+            rows["fw"].append(w)
+            rows["fh"].append(h)
+        yield pd.DataFrame({"doc_id": ids, **rows})
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup gate: for every text-duplicate candidate pair
+    (the documents exact-dedup content key), check whether the pair's
+    AUDIO payloads and sampled VIDEO-FRAME content are also identical —
+    the "same text, same media?" join a multimodal training-data dedup
+    pipeline runs before collapsing a pair.
+
+    Equality is by content hash from the real encode->decode codecs.
+    Because the synthetic payloads are closed-form in doc_id, hash
+    equality has an exact arithmetic characterization the DuckDB oracle
+    recomputes without any codec — a hash pipeline that produced false
+    positives OR false negatives anywhere mismatches.
+
+    Scale shape: the pair list is the (small) dedup-candidate output;
+    the feature relation is one embarrassingly-parallel codec pass over
+    the corpus, joined twice on doc_id (broadcast at this SF; a plain
+    hash join keyed on doc_id at 10^12 rows)."""
+    from pyspark.sql import functions as F
+
+    from .common import register_views, table
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql("""
+        with keyed as (
+            select doc_id,
+                   md5(concat_ws(' ', slice(split(lower(text), ' '), 1, 8)))
+                       as content_key
+            from documents
+        )
+        select a.doc_id as doc_a, b.doc_id as doc_b
+        from keyed a join keyed b
+          on a.content_key = b.content_key and a.doc_id < b.doc_id
+    """)
+    feats = (table(spark, sf_dir, "documents").select("doc_id")
+             .mapInPandas(_extract_xmodal, XMODAL_SCHEMA))
+    fa = feats.select(*[F.col(c).alias(f"{c}_a") for c in feats.columns])
+    fb = feats.select(*[F.col(c).alias(f"{c}_b") for c in feats.columns])
+    return (
+        pairs
+        .join(fa, pairs.doc_a == fa.doc_id_a)
+        .join(fb, pairs.doc_b == fb.doc_id_b)
+        .select(
+            "doc_a", "doc_b",
+            (F.col("sr_a") == F.col("sr_b")).cast("int").alias("sr_match"),
+            ((F.col("fw_a") == F.col("fw_b"))
+             & (F.col("fh_a") == F.col("fh_b"))).cast("int")
+            .alias("dims_match"),
+            (F.col("audio_md5_a") == F.col("audio_md5_b")).cast("int")
+            .alias("audio_match"),
+            ((F.col("fw_a") == F.col("fw_b"))
+             & (F.col("fh_a") == F.col("fh_b"))
+             & (F.col("frames_md5_a") == F.col("frames_md5_b"))).cast("int")
+            .alias("frames_match"))
+        .orderBy("doc_a", "doc_b"))
+
+
+# closed-form equality characterization: the WAV payload is a pure
+# function of (doc%7, doc%11, doc%101, doc%3); sampled frame content of
+# (doc%9, doc%7) dims, doc%256 pixel phase (17 is invertible mod 256) and
+# the sampled-frame set ({0,3} iff doc%5 < 3 else {0,3,6}).
+ORACLE_XMODAL_DEDUP = """
+    with keyed as (
+        select doc_id,
+               md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+                   as content_key
+        from documents
+    ),
+    pairs as (
+        select a.doc_id as doc_a, b.doc_id as doc_b
+        from keyed a join keyed b
+          on a.content_key = b.content_key and a.doc_id < b.doc_id
+    )
+    select doc_a, doc_b,
+           cast(doc_a % 3 = doc_b % 3 as int) as sr_match,
+           cast(doc_a % 9 = doc_b % 9 and doc_a % 7 = doc_b % 7 as int)
+               as dims_match,
+           cast(doc_a % 7 = doc_b % 7 and doc_a % 11 = doc_b % 11
+                and doc_a % 101 = doc_b % 101 and doc_a % 3 = doc_b % 3
+                as int) as audio_match,
+           cast(doc_a % 9 = doc_b % 9 and doc_a % 7 = doc_b % 7
+                and doc_a % 256 = doc_b % 256
+                and (doc_a % 5 < 3) = (doc_b % 5 < 3) as int) as frames_match
+    from pairs
+    order by doc_a, doc_b
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_png,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_dedup": q_multimodal_dedup,
 }
 ORACLES = {
     "multimodal_meta": ORACLE_MULTIMODAL,
     "multimodal_audio": ORACLE_AUDIO,
     "multimodal_frames": ORACLE_FRAMES,
+    "multimodal_dedup": ORACLE_XMODAL_DEDUP,
 }
