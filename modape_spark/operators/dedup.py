@@ -224,6 +224,44 @@ def q_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"with {_pairs_tail_sql('spark', 'bands_stored')}")
 
 
+def q_minhash_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog form of the signature store: the bands relation is
+    written ONCE as a bucketed+sorted managed table
+    (``bucketBy(N, band, band_hash).sortBy(...)``) — the layout a
+    production deployment keeps next to the corpus.  Because the
+    candidate self-join's keys are exactly the bucket keys, BOTH join
+    sides read bucket-aligned files with NO Exchange and (one file per
+    bucket) no Sort: the only shuffles left in the whole query are the
+    post-join pair aggregation — at 10^12 signatures the join cost is a
+    co-located merge, not a 2x table shuffle.  Works against the plain
+    spark-warehouse catalog; no Iceberg needed.  Identical rows to
+    docs_minhash_lsh (same DuckDB oracle); plan pinned by
+    tests/test_streaming_and_plans.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="modape_sigbucket_")
+    _SIGSTORE_DIRS.append(tmp)
+    name = f"modape_sig_bands_v{len(_SIGSTORE_DIRS)}"
+    spark.sql(f"drop table if exists {name}")
+    n_buckets = max(4, spark.sparkContext.defaultParallelism // 4)
+    bands = spark.sql(
+        f"with {_bands_cte(_minhash_sql_spark(), 'spark')} "
+        "select doc_id, mh, band, band_hash from bands"
+    )
+    # pre-partition on the bucket keys so every write task holds exactly
+    # one bucket (repartition and bucketBy share the Murmur3 hash) ->
+    # one file per bucket -> Spark trusts the sortBy order at read time
+    (bands.repartition(n_buckets, F.col("band"), F.col("band_hash"))
+     .write.bucketBy(n_buckets, "band", "band_hash")
+     .sortBy("band", "band_hash")
+     .option("path", f"{tmp}/bands")
+     .mode("overwrite").format("parquet").saveAsTable(name))
+    return spark.sql(f"with {_pairs_tail_sql('spark', name)}")
+
+
 _SIGSTORE_DIRS: list = []
 # the LAST store must outlive the returned lazy DataFrame (the driver
 # collects it later), so it is reaped at interpreter exit, not here
@@ -467,6 +505,7 @@ QUERIES = {
     "dedup_cross_check": q_dedup_cross_check,
     "docs_minhash_lsh": q_minhash_lsh,
     "docs_minhash_lsh_stored": q_minhash_lsh_stored,
+    "docs_minhash_lsh_bucketed": q_minhash_lsh_bucketed,
     "docs_simhash": q_simhash,
     "docs_simhash_pairs": q_simhash_pairs,
     "docs_ngram_jaccard": q_ngram_jaccard,
@@ -478,6 +517,7 @@ ORACLES = {
     "dedup_cross_check": _cross_check_sql("duck"),
     "docs_minhash_lsh": _minhash_pairs_sql("duck"),
     "docs_minhash_lsh_stored": _minhash_pairs_sql("duck"),
+    "docs_minhash_lsh_bucketed": _minhash_pairs_sql("duck"),
     "docs_simhash": _simhash_sql("duck"),
     "docs_simhash_pairs": _simhash_pairs_sql("duck"),
     "docs_ngram_jaccard": _jaccard_sql("duck"),

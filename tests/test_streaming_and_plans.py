@@ -139,3 +139,26 @@ def test_rollup_hot_path_plan_shape(spark, tmp_path):
     assert "Exchange" not in plan  # kernel pass is shuffle-free
     # the pre_bucketed write path adds nothing above this plan, so the
     # whole materialize job is scan -> kernel -> write with no exchange
+
+
+def test_bucketed_sig_store_join_has_no_exchange(spark):
+    """The bucketed signature store's candidate self-join must read both
+    sides bucket-aligned: no Exchange anywhere below the SortMergeJoin
+    (the post-join pair aggregation is the only shuffle left).  Broadcast
+    is disabled so the planner cannot sidestep the bucketed-join path
+    being asserted."""
+    from modape_spark.operators.dedup import q_minhash_lsh_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_minhash_lsh_bucketed(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan          # bucket metadata honored
+    assert "hashpartitioning(band" not in plan     # no exchange on join keys
+    # exactly the two post-join exchanges (pair agg + final orderBy) remain
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part
