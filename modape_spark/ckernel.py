@@ -287,6 +287,59 @@ long dod_value_at_rows(const unsigned char* buf, const long long* boffs,
     }
     return 0;
 }
+
+/* --- PNG scanline unfilter (multimodal.py decode path) ----------------
+   raw: inflated IDAT, h scanlines of (1 filter byte + w samples).
+   All five RFC 2083 filters; the Average and Paeth recurrences are
+   intra-row sequential and were the decoder's interpreted-Python
+   hotspot.  Returns 0 ok, -1 on an unknown filter type. */
+long png_unfilter(const unsigned char* raw, long h, long w,
+                  unsigned char* px)
+{
+    long y, x;
+    const unsigned char* prev = 0;
+    for (y = 0; y < h; y++) {
+        const unsigned char* fl = raw + y * (w + 1) + 1;
+        unsigned char* row = px + y * w;
+        int ft = raw[y * (w + 1)];
+        switch (ft) {
+        case 0:
+            for (x = 0; x < w; x++) row[x] = fl[x];
+            break;
+        case 1: {
+            unsigned char a = 0;
+            for (x = 0; x < w; x++) { a = (unsigned char)(fl[x] + a); row[x] = a; }
+            break; }
+        case 2:
+            for (x = 0; x < w; x++)
+                row[x] = (unsigned char)(fl[x] + (prev ? prev[x] : 0));
+            break;
+        case 3: {
+            int a = 0;
+            for (x = 0; x < w; x++) {
+                int b = prev ? prev[x] : 0;
+                a = (fl[x] + ((a + b) >> 1)) & 0xFF;
+                row[x] = (unsigned char)a;
+            }
+            break; }
+        case 4:
+            for (x = 0; x < w; x++) {
+                int a = x ? row[x - 1] : 0;
+                int b = prev ? prev[x] : 0;
+                int c = (x && prev) ? prev[x - 1] : 0;
+                int p = a + b - c;
+                int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+                int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                row[x] = (unsigned char)((fl[x] + pred) & 0xFF);
+            }
+            break;
+        default:
+            return -1;
+        }
+        prev = row;
+    }
+    return 0;
+}
 """
 
 _CFLAGS = ["-O2", "-fno-fast-math", "-ffp-contract=off", "-fPIC", "-shared"]
@@ -355,6 +408,10 @@ def get_lib():
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_ubyte)]
         lib.dod_value_at_rows.restype = ctypes.c_long
+        lib.png_unfilter.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_ubyte)]
+        lib.png_unfilter.restype = ctypes.c_long
         _lib = lib
     except Exception:
         _lib = None
@@ -378,3 +435,19 @@ def envelope_rows_c(Y: np.ndarray, lam: np.ndarray, W: np.ndarray, p: float,
     R, n = Y.shape
     lib.envelope_rows(_dp(Y), _dp(lam), _dp(W), ctypes.c_double(p),
                       _dp(z), _dp(ww), _dp(work), n, R)
+
+
+def png_unfilter_c(raw: bytes, h: int, w: int) -> np.ndarray | None:
+    """Unfilter PNG scanlines in C.  None when the lib is unavailable
+    (callers keep the pure-Python path); raises on an unknown filter."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    px = np.empty((h, w), dtype=np.uint8)
+    up = ctypes.POINTER(ctypes.c_ubyte)
+    rc = lib.png_unfilter(buf.ctypes.data_as(up), h, w,
+                          px.ctypes.data_as(up))
+    if rc != 0:
+        raise ValueError(f"unknown filter (rc={rc})")
+    return px

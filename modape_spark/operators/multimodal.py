@@ -114,6 +114,13 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     stride = width + 1
     if len(raw) != stride * height:
         raise ValueError("bad IDAT length")
+    from ..ckernel import png_unfilter_c
+
+    px_c = png_unfilter_c(raw, height, width)
+    if px_c is not None:
+        return px_c
+    # pure-Python unfilter fallback (no gcc): identical byte semantics,
+    # asserted against the C path in tests/test_multimodal.py
     px = np.zeros((height, width), dtype=np.uint8)
     prev = np.zeros(width, dtype=np.uint8)
     for y in range(height):
