@@ -75,14 +75,18 @@ def _ledger_update(key: tuple, pdfs: Iterator[pd.DataFrame],
                         "n_points": [int(n_points)]})
 
 
-def source_watermark_ledger(spark: SparkSession, landing_dir: str) -> DataFrame:
+def source_watermark_ledger(spark: SparkSession, landing_dir: str,
+                            reader_options: dict | None = None) -> DataFrame:
     """Per-source ingest ledger as a custom stateful streaming operator.
 
     State = (max stored position, batch count, point count) per source,
     carried across micro-batches by the state store; each micro-batch
     emits the refreshed ledger row for the sources it touched."""
+    reader = spark.readStream.schema(BATCHES_SCHEMA)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     return (
-        spark.readStream.schema(BATCHES_SCHEMA).parquet(landing_dir)
+        reader.parquet(landing_dir)
         .groupBy("source")
         .applyInPandasWithState(
             _ledger_update,

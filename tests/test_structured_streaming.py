@@ -205,3 +205,76 @@ def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
     ids = {r["text"]: r["doc_id"] for r in got.collect()}
     assert ids["unique text number 3"] == "d3"
     assert ids["unique text number 0"] in ("d0", "d0_dup")  # in-batch tie
+
+
+def test_restart_resume_matches_uninterrupted(spark, tmp_path):
+    """ST4 crash-recovery: a query KILLED mid-stream (foreachBatch raises
+    during the second micro-batch, before its commit) and restarted
+    against the same checkpoint must replay the uncommitted batch from
+    the committed state-store version and finish with a ledger identical
+    to an uninterrupted run — extends the replay test from batch retries
+    to full query restarts."""
+    from pyspark.errors import StreamingQueryException
+
+    from modape_spark.streaming.stateful import (
+        BATCHES_SCHEMA,
+        idempotent_batch_writer,
+        run_available_now,
+        source_watermark_ledger,
+    )
+
+    landing = str(tmp_path / "landing")
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [("d1", "web", 0, 100, 1), ("d3", "lab", 0, 10, 1)],
+        BATCHES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(
+        [("d2", "web", 100, 40, 2)],
+        BATCHES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+    spark.createDataFrame(
+        [("d4", "web", 140, 7, 3), ("d5", "lab", 10, 5, 3)],
+        BATCHES_SCHEMA).coalesce(1).write.mode("append").parquet(landing)
+
+    def final_ledger(sink_dir):
+        rows = spark.read.parquet(sink_dir).collect()
+        latest = {}
+        for r in rows:  # update mode: highest n_batches per source wins
+            if (r["source"] not in latest
+                    or r["n_batches"] > latest[r["source"]]["n_batches"]):
+                latest[r["source"]] = r
+        return {s: (r["max_position"], r["n_batches"], r["n_points"])
+                for s, r in latest.items()}
+
+    opts = {"maxFilesPerTrigger": "1"}
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    inner = idempotent_batch_writer(sink)
+    armed = {"on": True}
+
+    def crashing(df, bid):
+        if bid >= 1 and armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash before batch commit")
+        inner(df, bid)
+
+    def start(writer):
+        return (source_watermark_ledger(spark, landing, opts)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(writer).start())
+
+    q = start(crashing)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = start(inner)          # same checkpoint: resumes at the failed batch
+    q2.awaitTermination(120)
+
+    # uninterrupted control run with its own sink + checkpoint
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    run_available_now(source_watermark_ledger(spark, landing, opts),
+                      sink2, ckpt2, output_mode="update")
+
+    got, want = final_ledger(sink), final_ledger(sink2)
+    assert got == want
+    assert got["web"] == (147, 3, 147)
+    assert got["lab"] == (15, 2, 15)
