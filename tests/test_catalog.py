@@ -73,3 +73,26 @@ def test_merge_upsert_sql_text_and_parses(spark):
     parser = spark._jsparkSession.sessionState().sqlParser()
     plan = parser.parsePlan(sql)  # raises ParseException on bad syntax
     assert "MergeIntoTable" in plan.toString()
+
+
+def test_merge_executes_on_iceberg_when_available(spark, tmp_path):
+    """Executed MERGE INTO integration — runs only when an Iceberg
+    SparkCatalog is configured.  Re-checked round 4 (2026-08): no
+    iceberg-spark-runtime jar exists anywhere in this image and the
+    sandbox has no network to fetch one, so this SKIPs here; the parquet
+    copy-on-write path above provides the executed upsert coverage and
+    test_merge_upsert_sql_text_and_parses pins the MERGE text."""
+    from modape_spark.catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    if not cat.iceberg_catalog:
+        import pytest
+        pytest.skip("no Iceberg runtime jar in image (no network to fetch; "
+                    "parquet CoW path is the executed coverage)")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d2", 2)], "doc_id string, v int")
+    cat.create("t", base)
+    cat.upsert("t", spark.createDataFrame(
+        [("d2", 20), ("d3", 3)], "doc_id string, v int"))
+    got = {r["doc_id"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"d1": 1, "d2": 20, "d3": 3}
