@@ -355,12 +355,57 @@ def q_tier_grid_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+_M64 = "18446744073709551616"
+
+
+def _splitmix_ctes(prefix: str, stream: int) -> tuple[str, str]:
+    """DuckDB CTE chain computing, per documents.doc_id, the fixtures'
+    uniform draw ``u = splitmix64(id + base(stream)) / 2^64 * 100`` in
+    exact 2^64 arithmetic — hugeint with a 32-bit split multiply (DuckDB
+    raises on native 64-bit overflow); the final float64 division matches
+    numpy bit-for-bit (same IEEE ops).  Returns (cte_text, final_name)
+    where final_name selects (doc_num, u)."""
+    from .fixtures import SEED
+
+    base = (stream * 0xD1B54A32D192ED03 + SEED * 0x8CB92BA72F3D8DD7) % (1 << 64)
+    add = (base + 0x9E3779B97F4A7C15) % (1 << 64)
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        return (f"(((({x}) % 4294967296) * {c}::hugeint + "
+                f"(((({x}) // 4294967296) * {c}::hugeint) % 4294967296) "
+                f"* 4294967296) % {_M64})")
+
+    def xshift(x: str, k: int) -> str:
+        return f"xor(({x})::ubigint, (({x})::ubigint >> {k}))::hugeint"
+
+    p = prefix
+    text = f"""
+        {p}s1 as (
+            select doc_id as doc_num,
+                   (doc_id::hugeint + {add}::hugeint) % {_M64} as x
+            from documents
+        ),
+        {p}s2 as (select doc_num, {xshift('x', 30)} as x from {p}s1),
+        {p}s3 as (select doc_num, {mulmod('x', c1)} as x from {p}s2),
+        {p}s4 as (select doc_num, {xshift('x', 27)} as x from {p}s3),
+        {p}s5 as (select doc_num, {mulmod('x', c2)} as x from {p}s4),
+        {p}s6 as (select doc_num, {xshift('x', 31)} as x from {p}s5),
+        {p}u as (
+            select doc_num, (x::double / 18446744073709551616.0) * 100.0 as u
+            from {p}s6
+        )"""
+    return text, f"{p}u"
+
+
+def _lens_case(col: str = "u") -> str:
+    return (f"case when {col} < 85 then 742 when {col} < 90 then 16 "
+            f"when {col} < 95 then 64 else 128 end")
+
+
 def _grid_shape_oracle() -> str:
     """Closed-form DuckDB recomputation of q_tier_grid_shape.
 
-    splitmix64 runs in exact 2^64 arithmetic via hugeint with a 32-bit
-    split multiply (DuckDB raises on native 64-bit overflow); the float64
-    threshold comparison then matches numpy bit-for-bit (same IEEE ops).
     The raw axis is every date >= epoch with (dayofyear-1) % rtres == 0 —
     exactly the per-year-restarting tvec grid — and the target grids are
     the day-in-(5,15,25) / day-in-(3,8,13,18,23,28) calendar dates inside
@@ -370,40 +415,14 @@ def _grid_shape_oracle() -> str:
     import datetime as _dt
 
     from .constants import EPOCH_JULIAN, RTRES
-    from .fixtures import SEED
 
     epoch = _dt.datetime.strptime(EPOCH_JULIAN, "%Y%j").date().isoformat()
-    base1 = (1 * 0xD1B54A32D192ED03 + SEED * 0x8CB92BA72F3D8DD7) % (1 << 64)
-    add = (base1 + 0x9E3779B97F4A7C15) % (1 << 64)
-    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-    m64 = "18446744073709551616"
-
-    def mulmod(x: str, c: int) -> str:
-        return (f"(((({x}) % 4294967296) * {c}::hugeint + "
-                f"(((({x}) // 4294967296) * {c}::hugeint) % 4294967296) "
-                f"* 4294967296) % {m64})")
-
-    def xshift(x: str, k: int) -> str:
-        return f"xor(({x})::ubigint, (({x})::ubigint >> {k}))::hugeint"
+    sm, uname = _splitmix_ctes("g", 1)
 
     return f"""
-        with s1 as (
-            select doc_id as doc_num,
-                   (doc_id::hugeint + {add}::hugeint) % {m64} as x
-            from documents
-        ),
-        s2 as (select doc_num, {xshift('x', 30)} as x from s1),
-        s3 as (select doc_num, {mulmod('x', c1)} as x from s2),
-        s4 as (select doc_num, {xshift('x', 27)} as x from s3),
-        s5 as (select doc_num, {mulmod('x', c2)} as x from s4),
-        s6 as (select doc_num, {xshift('x', 31)} as x from s5),
+        with {sm},
         lens as (
-            select doc_num,
-                   case when u < 85 then 742 when u < 90 then 16
-                        when u < 95 then 64 else 128 end as n_tok
-            from (select doc_num,
-                         (x::double / 18446744073709551616.0) * 100.0 as u
-                  from s6)
+            select doc_num, {_lens_case()} as n_tok from {uname}
         ),
         cal as (
             select unnest(generate_series(date '{epoch}', date '2020-12-31',
@@ -451,6 +470,133 @@ def _grid_shape_oracle() -> str:
     """
 
 
+_RETENTION_KEEP = 64
+
+
+def q_retention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention accounting through the REAL trim operator: sequences are
+    trimmed to their trailing {keep} tokens (retention.py — the raw-tier
+    storage bound once history is rolled into the smoothed/dekad/pentad
+    tiers), then per-source counters are computed from the PHYSICAL
+    post-trim arrays — kept_points = size(tokens) after the trim, not a
+    formula — so a trim that sliced wrong would mismatch.  The DuckDB
+    oracle recomputes everything closed-form from the splitmix64 length
+    and source assignments (fixtures.row_lengths / row_sources).  Keyed
+    to documents.doc_id, so the oracle is scale-factor independent."""
+    from .operators.common import table as _table
+    from .retention import retention_trim
+
+    n_docs = _table(spark, sf_dir, "documents").count()
+    trimmed = retention_trim(sequences_df(spark, n_docs), _RETENTION_KEEP)
+    return (
+        trimmed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("raw_points"),
+            F.sum(F.size("tokens").cast("long")).alias("kept_points"),
+            F.sum((F.col("n_tok") - F.size("tokens")).cast("long"))
+            .alias("trimmed_points"),
+        )
+        .orderBy("source")
+    )
+
+
+# cumulative percent thresholds of fixtures._SOURCE_CUM, as (limit, name)
+def _source_case(col: str) -> str:
+    return ("case " + " ".join(
+        f"when {col} < {lim} then '{name}'"
+        for lim, name in [(50, "web"), (65, "books"), (75, "code"),
+                          (83, "wiki"), (89, "news"), (93, "social"),
+                          (96, "academic"), (98, "legal"), (99.5, "forum")])
+        + " else 'misc' end")
+
+
+def _retention_stats_oracle() -> str:
+    sm1, u1 = _splitmix_ctes("L", 1)   # stream 1: length draw
+    sm2, u2 = _splitmix_ctes("S", 2)   # stream 2: source draw
+    return f"""
+        with {sm1},
+        {sm2},
+        per as (
+            select a.doc_num,
+                   {_lens_case('a.u')} as n_tok,
+                   {_source_case('b.u')} as source
+            from {u1} a
+            join {u2} b on b.doc_num = a.doc_num
+        )
+        select source,
+               count(*) as n_docs,
+               cast(sum(n_tok) as bigint) as raw_points,
+               cast(sum(least(n_tok, {_RETENTION_KEEP})) as bigint)
+                   as kept_points,
+               cast(sum(greatest(n_tok - {_RETENTION_KEEP}, 0)) as bigint)
+                   as trimmed_points
+        from per
+        group by source
+        order by source
+    """
+
+
+def q_retention_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule retention invariant, driver-visible: append + windowed
+    forward rollup over the retention-TRIMMED raw table is bit-identical
+    to the same run over the FULL table (keep_tail=64 >= nsmooth=16 —
+    the reference's forward semantics read exactly the trailing nsmooth
+    points, smooth.py:305,336-352).  Emits one row of self-verifying
+    counters; correctness requires n_docs == window_sum_equal ==
+    last_val_equal == dekad_tail_equal."""
+    from .retention import retention_trim
+
+    _release_caches()
+    n = min(n_rows_for_sf(sf_of(sf_dir)), 4000)
+    full = _track_cache(sequences_df(spark, n))
+    full.count()
+
+    def forward(init: DataFrame) -> DataFrame:
+        batches = init.select(
+            "doc_id",
+            F.lit("fwd").alias("batch_id"),
+            F.lit(1).cast("long").alias("proc_ts"),
+            F.col("tokens_tail").alias("tokens_suffix"),
+            F.col("n_tok").cast("int").alias("start_offset"),
+        )
+        updated = append_suffixes(init.drop("tokens_tail"), batches)
+        tail = incremental_rollup(
+            updated, nsmooth=16, nupdate=1,
+            cfg=SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD,)))
+        return tail.select(
+            "doc_id",
+            _checksum("smoothed").alias("window_sum"),
+            F.element_at("smoothed", -1).alias("last_val"),
+            F.element_at("dekad", -1).alias("dekad_last"),
+        )
+
+    init = (
+        full.withColumn("tokens_tail", F.expr("slice(tokens, n_tok - 1, 2)"))
+        .withColumn("tokens", F.expr("slice(tokens, 1, n_tok - 2)"))
+        .withColumn("n_tok", (F.col("n_tok") - 2).cast("int"))
+    )
+    f = forward(init)
+    t = forward(
+        retention_trim(init.select("doc_id", "tokens", "n_tok", "source",
+                                   "tokens_tail"), _RETENTION_KEEP))
+    j = f.join(t.select(
+        F.col("doc_id"),
+        F.col("window_sum").alias("t_window_sum"),
+        F.col("last_val").alias("t_last_val"),
+        F.col("dekad_last").alias("t_dekad_last")), "doc_id")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("window_sum") == F.col("t_window_sum")).cast("long"))
+        .alias("window_sum_equal"),
+        F.sum((F.col("last_val") == F.col("t_last_val")).cast("long"))
+        .alias("last_val_equal"),
+        F.sum((F.col("dekad_last") == F.col("t_dekad_last")).cast("long"))
+        .alias("dekad_tail_equal"),
+        F.sum("window_sum").alias("window_checksum"),
+    )
+
+
 QUERIES = {
     "tier_smoothed_optvp": q_tier_smoothed,
     "lineage_resume": q_lineage_resume,
@@ -462,6 +608,8 @@ QUERIES = {
     "tier_compact_readback": q_compact_readback,
     "tier_sgrid_forward": q_sgrid_forward,
     "tier_grid_shape": q_tier_grid_shape,
+    "retention_stats": q_retention_stats,
+    "retention_forward": q_retention_forward,
 }
 
 # the kernel-numeric entries are non-SQL-expressible (sequential banded
@@ -469,4 +617,5 @@ QUERIES = {
 # real closed-form oracle
 ORACLES: dict[str, str] = {
     "tier_grid_shape": _grid_shape_oracle(),
+    "retention_stats": _retention_stats_oracle(),
 }

@@ -143,7 +143,17 @@ def append_suffixes(raw_df: DataFrame, batches: DataFrame,
                 F.concat(F.col("tokens"), F.col("tokens_suffix")),
             ).otherwise(F.col("tokens")),
         )
-        .withColumn("n_tok", F.size("tokens").cast("int"))
+        # LOGICAL length advances by the suffix size.  (Not size(tokens):
+        # on a retention-trimmed table — retention.py — the stored array
+        # is a suffix of the logical series and n_tok is the date-axis
+        # identity; for untrimmed tables the two are identical since
+        # n_tok == size(tokens) held before the append.)
+        .withColumn(
+            "n_tok",
+            F.when(F.col("tokens_suffix").isNotNull(),
+                   F.col("n_tok") + F.size("tokens_suffix"))
+            .otherwise(F.col("n_tok")).cast("int"),
+        )
         .drop("tokens_suffix")
     )
 

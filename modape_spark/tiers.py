@@ -69,7 +69,7 @@ COMPACT_TIER_COLUMNS = {
 
 def _rollup_core(lens: np.ndarray, flat: np.ndarray, starts: np.ndarray,
                  sgrid: np.ndarray | None, cfg: SmoothConfig,
-                 compress: bool) -> dict:
+                 compress: bool, logical: np.ndarray | None = None) -> dict:
     """Shared kernel body over a flattened token batch.
 
     Inputs are the Arrow list layout — one contiguous ``flat`` values
@@ -78,8 +78,19 @@ def _rollup_core(lens: np.ndarray, flat: np.ndarray, starts: np.ndarray,
     allocations per pass; that conversion was the fixed ~3 s non-scaling
     feed cost in BENCH/BASELINE.md).  Outputs come back in the same
     values+offsets layout, ready for zero-copy ListArray construction.
+
+    ``logical``: per-row LOGICAL series length (defaults to the physical
+    array length).  A retention-trimmed table (retention.py) stores only
+    the trailing ``keep_tail`` tokens while ``n_tok`` keeps the logical
+    length — the date-axis identity the calendar grids are built from.
+    Rows where the two differ are only valid under a windowed config
+    whose ``nsmooth`` fits inside the physical tail (the forward-update
+    contract); anything else raises rather than smoothing a truncated
+    series as if it were complete.
     """
     R = lens.size
+    if logical is None:
+        logical = lens
     want_dekad = STRES_DEKAD in cfg.tempint
     want_pentad = STRES_PENTAD in cfg.tempint
 
@@ -91,28 +102,39 @@ def _rollup_core(lens: np.ndarray, flat: np.ndarray, starts: np.ndarray,
     d_dod = np.empty(R, dtype=object)
     p_dod = np.empty(R, dtype=object)
 
-    uniq = np.unique(lens)
+    # group by (physical, logical) pairs; for untrimmed tables this is
+    # exactly the old by-length grouping
+    key = (np.asarray(logical, dtype=np.int64) << 32) | np.asarray(
+        lens, dtype=np.int64)
+    uniq = np.unique(key)
     # windowed configs (nsmooth/nupdate forward runs) emit TAIL blocks
     # narrower than the input length, so output widths are only known from
     # the kernel result itself: run all groups first, then assemble the
     # flat buffers from the actual block shapes
     groups: list[tuple[np.ndarray, object]] = []
-    for n in uniq:
-        sel = np.where(lens == n)[0]
-        n = int(n)
+    for k in uniq:
+        sel = np.where(key == k)[0]
+        n = int(k & 0xFFFFFFFF)          # physical
+        n_log = int(k >> 32)             # logical (grid identity)
+        if n_log != n and (not cfg.nsmooth or n < cfg.nsmooth or n_log < n):
+            raise ValueError(
+                f"trimmed rows (physical {n} of logical {n_log} tokens) "
+                f"require a windowed config with nsmooth <= physical "
+                f"(got nsmooth={cfg.nsmooth}); a full smooth over a "
+                "trimmed series would be silently wrong")
         gidx = (starts[sel][:, None] + np.arange(n)).ravel()
         Y = flat[gidx].reshape(sel.size, n).astype(np.float64)
         sg = sgrid[sel].astype(np.float64) if sgrid is not None else None
-        res = process_length_group(Y, n, cfg, sgrid=sg)
+        res = process_length_group(Y, n_log, cfg, sgrid=sg)
         sopt[sel] = res.sopt_log10
         covered[sel] = res.covered
         if want_dekad:
             dekad_total[sel] = grid_for_length(
-                n, STRES_DEKAD, cfg.rtres, cfg.tshift, cfg.epoch,
+                n_log, STRES_DEKAD, cfg.rtres, cfg.tshift, cfg.epoch,
                 cfg.tempint_start).target_ix.size
         if want_pentad:
             pentad_total[sel] = grid_for_length(
-                n, STRES_PENTAD, cfg.rtres, cfg.tshift, cfg.epoch,
+                n_log, STRES_PENTAD, cfg.rtres, cfg.tshift, cfg.epoch,
                 cfg.tempint_start).target_ix.size
         groups.append((sel, res))
 
@@ -161,8 +183,9 @@ def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> 
     """Pandas wrapper over the flat kernel core — the local oracle the
     tier tests compare the Spark (Arrow) path against."""
     R = len(pdf)
-    lens = pdf["n_tok"].to_numpy().astype(np.int64)
+    logical = pdf["n_tok"].to_numpy().astype(np.int64)
     tok = pdf["tokens"].to_numpy()
+    lens = np.array([np.asarray(t).size for t in tok], dtype=np.int64)
     flat = (np.concatenate([np.asarray(t) for t in tok])
             if R else np.empty(0, dtype=np.int64))
     starts = np.zeros(R, dtype=np.int64)
@@ -170,7 +193,8 @@ def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> 
         np.cumsum(lens[:-1], out=starts[1:])
     sgrid = pdf["sopt_log10"].to_numpy() if "sopt_log10" in pdf.columns else None
 
-    core = _rollup_core(lens, flat, starts, sgrid, cfg, compress)
+    core = _rollup_core(lens, flat, starts, sgrid, cfg, compress,
+                        logical=logical)
 
     def _rows(vals, off):
         out = np.empty(R, dtype=object)
@@ -186,7 +210,7 @@ def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> 
         {
             "doc_id": pdf["doc_id"].to_numpy(),
             "source": pdf["source"].to_numpy(),
-            "n_tok": lens.astype(np.int32),
+            "n_tok": logical.astype(np.int32),
             "covered": core["covered"],
             "smoothed": _rows(core["s_vals"], core["s_off"]),
             "sopt_log10": core["sopt"],
@@ -224,11 +248,15 @@ def process_rollup_arrow(batch, cfg: SmoothConfig, compress: bool):
     flat = tok.values.to_numpy(zero_copy_only=True)
     lens = np.diff(off)
     starts = off[:-1]
+    logical = (batch.column(names.index("n_tok"))
+               .to_numpy(zero_copy_only=False).astype(np.int64)
+               if "n_tok" in names else lens)
     sgrid = (batch.column(names.index("sopt_log10"))
              .to_numpy(zero_copy_only=False)
              if "sopt_log10" in names else None)
 
-    core = _rollup_core(lens, flat, starts, sgrid, cfg, compress)
+    core = _rollup_core(lens, flat, starts, sgrid, cfg, compress,
+                        logical=logical)
 
     def _list_arr(vals, o):
         if vals is None:
@@ -245,7 +273,7 @@ def process_rollup_arrow(batch, cfg: SmoothConfig, compress: bool):
         [
             batch.column(names.index("doc_id")),
             batch.column(names.index("source")),
-            pa.array(lens.astype(np.int32)),
+            pa.array(np.asarray(logical).astype(np.int32)),
             pa.array(core["covered"]),
             _list_arr(core["s_vals"], core["s_off"]),
             pa.array(core["sopt"]),
