@@ -137,6 +137,29 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_retention(args) -> int:
+    """Raw-tier retention pass (retention.py): rewrite the raw table to
+    the trailing --keep tokens per sequence (logical n_tok preserved for
+    the date axis; windowed forward runs stay bit-identical for
+    keep >= nsmooth).  Prints the per-source accounting."""
+    from .retention import retention_stats, retention_trim
+
+    spark = _spark(args)
+    raw = spark.read.parquet(args.raw)
+    trimmed = retention_trim(raw, args.keep)
+    trimmed.write.mode("overwrite").parquet(args.out)
+    stats = retention_stats(spark.read.parquet(args.out), args.keep).collect()
+    print(json.dumps({
+        "keep": args.keep, "out": args.out,
+        "sources": {r["source"]: {"n_docs": r["n_docs"],
+                                  "raw_points": r["raw_points"],
+                                  "kept_points": r["kept_points"],
+                                  "trimmed_points": r["trimmed_points"]}
+                    for r in stats},
+    }))
+    return 0
+
+
 def cmd_csv(args) -> int:
     """csv_smooth analogue (local, no Spark)."""
     from .sources.csv_series import smooth_csv
@@ -198,6 +221,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--compact", action="store_true",
                    help="store only the dod payloads (long-retention layout)")
     t.set_defaults(fn=cmd_split)
+
+    r = sub.add_parser("retention", help="trim raw sequences to their "
+                       "trailing window once history is tiered")
+    r.add_argument("--raw", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--keep", type=int, required=True,
+                   help="tokens to keep per sequence (>= the forward "
+                        "nsmooth window)")
+    r.set_defaults(fn=cmd_retention)
 
     i = sub.add_parser("info")
     i.add_argument("--tiers", required=True)

@@ -99,3 +99,30 @@ def test_cli_split_compact_and_window(tmp_path):
     a = dict(con.execute(f"select doc_id, value from '{exp}/*.parquet'").fetchall())
     b = dict(con.execute(f"select doc_id, value from '{exp2}/*.parquet'").fetchall())
     assert a == b and len(a) == 40
+
+
+def test_cli_retention_then_windowed_smooth(tmp_path):
+    """retention subcommand: trims the raw table (accounting reported),
+    and a windowed forward smooth over the trimmed table still runs and
+    covers every row (keep >= nsmooth)."""
+    from modape_spark.cli import main
+
+    raw = str(tmp_path / "raw")
+    trimmed = str(tmp_path / "trimmed")
+    tiers = str(tmp_path / "tiers")
+    assert main(["collect", "--n-rows", "60", "--out", raw]) == 0
+    assert main(["retention", "--raw", raw, "--out", trimmed,
+                 "--keep", "64"]) == 0
+    assert main(["smooth", "--raw", trimmed, "--out", tiers,
+                 "--svalue", "1.0", "--tempint", "10", "--buckets", "4",
+                 "--nsmooth", "16", "--nupdate", "1"]) == 0
+    import duckdb
+    con = duckdb.connect()
+    n = con.execute(
+        f"select count(*) from parquet_scan('{trimmed}/*.parquet')"
+    ).fetchone()[0]
+    assert n == 60
+    phys, logical = con.execute(
+        f"select max(len(tokens)), max(n_tok) "
+        f"from parquet_scan('{trimmed}/*.parquet')").fetchone()
+    assert phys == 64 and logical == 742
