@@ -5,18 +5,29 @@ DataFrame]]`` and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL on the same
 parquet views).  __spark_entry__.py aggregates them.
 """
 
-from . import dedup, granules, multimodal, relational, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    granules,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
+
+_MODULES = (text, dedup, similarity, relational, multimodal, granules,
+            sampling)
 
 
 def all_queries():
     out = {}
-    for m in (text, dedup, similarity, relational, multimodal, granules):
+    for m in _MODULES:
         out.update(m.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for m in (text, dedup, similarity, relational, multimodal, granules):
+    for m in _MODULES:
         out.update(m.ORACLES)
     return out
