@@ -21,9 +21,7 @@ def test_trim_preserves_logical_length(spark):
     raw = sequences_df(spark, 400)
     t = retention_trim(raw, KEEP)
     rows = t.select(
-        "n_tok", F.size("tokens").alias("phys"),
-        F.element_at("tokens", -1).alias("last_tok")).collect()
-    full_last = {r["n_tok"]: None for r in rows}
+        "n_tok", F.size("tokens").alias("phys")).collect()
     assert all(r["phys"] == min(r["n_tok"], KEEP) for r in rows)
     # trimmed rows keep the SUFFIX: last token unchanged vs the full table
     full = {r["doc_id"]: r for r in
@@ -33,7 +31,6 @@ def test_trim_preserves_logical_length(spark):
            t.select("doc_id", F.element_at("tokens", -1)
                     .alias("last_tok")).collect()}
     assert all(got[d]["last_tok"] == full[d]["last_tok"] for d in full)
-    del full_last
 
 
 def test_full_smooth_on_trimmed_table_raises(spark):
@@ -42,9 +39,12 @@ def test_full_smooth_on_trimmed_table_raises(spark):
         rollup_dataframe(raw, CFG_FIXED).select(F.count("*")).collect()
 
 
-def test_windowed_forward_identical_trimmed_vs_full(spark):
+@pytest.mark.parametrize("keep", [KEEP, 14])
+def test_windowed_forward_identical_trimmed_vs_full(spark, keep):
     """keep_tail >= nsmooth: the forward run reads only the trailing
-    window, so trimming history cannot change a single output value."""
+    window, so trimming history cannot change a single output value.
+    keep=14 is the exact boundary: after the 2-token append the physical
+    tail is 16 == nsmooth — the minimum retention that stays exact."""
     cfg = SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD,))
     full = sequences_df(spark, 300).persist()
     full.count()
@@ -65,7 +65,7 @@ def test_windowed_forward_identical_trimmed_vs_full(spark):
             .withColumn("n_tok", (F.col("n_tok") - 2).cast("int")))
     t_init = retention_trim(
         init.select("doc_id", "tokens", "n_tok", "source", "tokens_tail"),
-        KEEP)
+        keep)
     want = {r["doc_id"]: r for r in forward(init).collect()}
     got = {r["doc_id"]: r for r in forward(t_init).collect()}
     full.unpersist()
