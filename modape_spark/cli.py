@@ -87,9 +87,22 @@ def cmd_window(args) -> int:
     --clip-valid VMIN VMAX applies the reference's export-time valid-range
     clip (window.py:382-384); --compact reads a dod-only compact tier
     table via the prefix decoder instead of plain arrays."""
+    if (args.position is None) == (args.date is None):
+        print("window: exactly one of --position / --date is required",
+              file=sys.stderr)
+        return 2
     spark = _spark(args)
     clip = tuple(args.clip_valid) if args.clip_valid else None
-    if args.compact:
+    if args.date is not None:
+        if args.compact:
+            from .tiers import export_compact_date
+            sl = export_compact_date(spark, args.tiers, args.tier,
+                                     args.date, clip_valid=clip)
+        else:
+            from .tiers import export_tier_date
+            sl = export_tier_date(spark, args.tiers, args.tier, args.date,
+                                  clip_valid=clip)
+    elif args.compact:
         from .tiers import export_compact_slice
         sl = export_compact_slice(spark, args.tiers, args.tier,
                                   args.position, clip_valid=clip)
@@ -99,6 +112,7 @@ def cmd_window(args) -> int:
                                clip_valid=clip)
     sl.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"tier": args.tier, "position": args.position,
+                      "date": args.date,
                       "rows": sl.count(), "out": args.out,
                       "compact": bool(args.compact),
                       "clip_valid": list(clip) if clip else None}))
@@ -204,7 +218,11 @@ def build_parser() -> argparse.ArgumentParser:
     w = sub.add_parser("window")
     w.add_argument("--tiers", required=True)
     w.add_argument("--tier", default="dekad")
-    w.add_argument("--position", type=int, required=True)
+    w.add_argument("--position", type=int, default=None)
+    w.add_argument("--date", default=None,
+                   help="julian YYYYDDD calendar date (modis_window "
+                        "contract); resolved per length to a grid "
+                        "position, NULL where the grid lacks the date")
     w.add_argument("--out", required=True)
     w.add_argument("--clip-valid", dest="clip_valid", type=int, nargs=2,
                    default=None, metavar=("VMIN", "VMAX"))

@@ -413,10 +413,98 @@ def export_tier_slice(spark: SparkSession, combined_dir: str, tier: str,
     )
 
 
+def date_positions(lengths, tier: str, date_julian: str) -> dict[int, int | None]:
+    """1-based position of a julian YYYYDDD date on each length's axis:
+    the dekad/pentad target grid for those tiers, the raw rtres axis for
+    ``smoothed``.  None when the date is outside that length's grid —
+    per-length grids END at different dates, which is why a date export
+    cannot be a single scalar position across mixed-length tables."""
+    from .constants import STRES_DEKAD, STRES_PENTAD
+    from .grids import grid_for_length, raw_dates_for_length
+
+    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
+    out: dict[int, int | None] = {}
+    for n in lengths:
+        n = int(n)
+        if stres is not None:
+            dates = grid_for_length(n, stres).target_dates
+        else:
+            dates = tuple(raw_dates_for_length(n))
+        out[n] = dates.index(date_julian) + 1 if date_julian in dates else None
+    return out
+
+
+def _clip_value(value, clip_valid, nodata):
+    if clip_valid is None:
+        return value
+    vmin, vmax = int(clip_valid[0]), int(clip_valid[1])
+    return F.when(value == int(nodata), value).otherwise(
+        F.least(F.greatest(value, F.lit(vmin)), F.lit(vmax)))
+
+
+def export_tier_date(spark: SparkSession, combined_dir: str, tier: str,
+                     date_julian: str,
+                     clip_valid: tuple[int, int] | None = None,
+                     nodata: int = NODATA_INT) -> DataFrame:
+    """S9 per-date export BY CALENDAR DATE (the reference CLI's contract:
+    modis_window --begin-date, window.py) rather than array position.
+
+    The date resolves to a per-length grid position (date_positions) and
+    joins in as a broadcast dim on n_tok, so mixed-length tables export
+    correctly in one pass: rows whose grid does not contain the date
+    yield NULL.  The distinct-length probe is a map-side-partial
+    aggregation over a single low-cardinality column — cheap at any
+    scale (grids exist per distinct length by design, grids.py)."""
+    col = tier if tier in ("dekad", "pentad") else "smoothed"
+    df = spark.read.parquet(combined_dir)
+    lengths = [r[0] for r in df.select("n_tok").distinct().collect()]
+    pos = date_positions(lengths, tier, date_julian)
+    dim = spark.createDataFrame(
+        [(int(n), p) for n, p in pos.items()], "n_tok int, _pos int")
+    value = _clip_value(F.try_element_at(col, F.col("_pos")),
+                        clip_valid, nodata)
+    return (
+        df.join(F.broadcast(dim), "n_tok", "left")
+        .select("doc_id", "source", value.cast("int").alias("value"))
+    )
+
+
+def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
+                        date_julian: str,
+                        clip_valid: tuple[int, int] | None = None,
+                        nodata: int = NODATA_INT) -> DataFrame:
+    """Per-date export from a compact (dod-only) tier table: one
+    prefix-decode pass per distinct length (the C reader takes a scalar
+    position, so rows are partitioned by length first — a handful of
+    column-pruned scans with the n_tok filter pushed down), unioned with
+    NULL rows for lengths whose grid lacks the date."""
+    src = spark.read.parquet(tier_dir)
+    lengths = [r[0] for r in src.select("n_tok").distinct().collect()]
+    pos = date_positions(lengths, tier, date_julian)
+    parts = []
+    for n, p in pos.items():
+        flt = F.col("n_tok") == int(n)
+        if p is None:
+            parts.append(
+                src.filter(flt).select(
+                    "doc_id", "source",
+                    F.lit(None).cast("int").alias("value")))
+        else:
+            parts.append(
+                export_compact_slice(spark, tier_dir, tier, p,
+                                     clip_valid=clip_valid, nodata=nodata,
+                                     row_filter=flt))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def export_compact_slice(spark: SparkSession, tier_dir: str, tier: str,
                          position: int,
                          clip_valid: tuple[int, int] | None = None,
-                         nodata: int = NODATA_INT) -> DataFrame:
+                         nodata: int = NODATA_INT,
+                         row_filter=None) -> DataFrame:
     """S9 per-date export DIRECTLY from a compact (dod-only) tier table:
     decode only the first ``position`` codes per row (sequential stream,
     C reader), never materializing the full arrays.  Same output contract
@@ -460,8 +548,10 @@ def export_compact_slice(spark: SparkSession, tier_dir: str, tier: str,
                  batch.column(names.index("source")), arr],
                 names=["doc_id", "source", "value"])
 
-    return (spark.read.parquet(tier_dir)
-            .select("doc_id", "source", dod_col)
+    src = spark.read.parquet(tier_dir)
+    if row_filter is not None:
+        src = src.filter(row_filter)
+    return (src.select("doc_id", "source", dod_col)
             .mapInArrow(_slice, "doc_id string, source string, value int"))
 
 

@@ -126,3 +126,26 @@ def test_cli_retention_then_windowed_smooth(tmp_path):
         f"select max(len(tokens)), max(n_tok) "
         f"from parquet_scan('{trimmed}/*.parquet')").fetchone()
     assert phys == 64 and logical == 742
+
+
+def test_cli_window_by_date(tmp_path):
+    from modape_spark.cli import main
+
+    raw = str(tmp_path / "raw")
+    tiers = str(tmp_path / "tiers")
+    exp = str(tmp_path / "exp")
+    assert main(["collect", "--n-rows", "40", "--out", raw]) == 0
+    assert main(["smooth", "--raw", raw, "--out", tiers,
+                 "--svalue", "1.0", "--tempint", "10", "--buckets", "4"]) == 0
+    assert main(["window", "--tiers", tiers, "--tier", "dekad",
+                 "--date", "2002186", "--out", exp]) == 0
+    # exactly one of --position/--date
+    assert main(["window", "--tiers", tiers, "--tier", "dekad",
+                 "--out", exp]) == 2
+    assert main(["window", "--tiers", tiers, "--tier", "dekad",
+                 "--position", "1", "--date", "2002186", "--out", exp]) == 2
+    import duckdb
+    n = duckdb.connect().execute(
+        f"select count(*), count(value) from parquet_scan('{exp}/*.parquet')"
+    ).fetchone()
+    assert n[0] == 40 and n[1] == 40

@@ -266,3 +266,55 @@ def test_bucket_filter_prunes_partitioned_input(spark, tmp_path):
     pruned = spark.read.parquet(raw_bkt).filter(F.col("bucket").isin([1, 3]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_export_tier_date_matches_position_and_nulls(spark, tmp_path):
+    """Date export resolves per-length grid positions: an early dekad
+    date shared by every length equals the position-1 slice; a late date
+    beyond the short grids yields values for long rows and NULL for the
+    rest; both compact and plain paths agree."""
+    from modape_spark.grids import grid_for_length
+    from modape_spark.tiers import (
+        export_compact_date,
+        export_tier_date,
+        export_tier_slice,
+        write_tier_tables,
+    )
+
+    out = str(tmp_path / "exp")
+    raw = sequences_df(spark, 120, partitions=2)
+    materialize_rollup(raw, out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+
+    # every length's dekad grid starts 2002186 -> identical to position 1
+    by_date = {r["doc_id"]: r["value"]
+               for r in export_tier_date(spark, out, "dekad", "2002186").collect()}
+    by_pos = {r["doc_id"]: r["value"]
+              for r in export_tier_slice(spark, out, "dekad", 1).collect()}
+    assert by_date == by_pos and len(by_date) == 120
+
+    # a date only the length-742 grid contains
+    late = grid_for_length(742, 10).target_dates[200]
+    lens = {r["doc_id"]: r["n_tok"] for r in
+            spark.read.parquet(out).select("doc_id", "n_tok").collect()}
+    got = {r["doc_id"]: r["value"]
+           for r in export_tier_date(spark, out, "dekad", late).collect()}
+    pos742 = grid_for_length(742, 10).target_dates.index(late) + 1
+    want742 = {r["doc_id"]: r["value"] for r in
+               export_tier_slice(spark, out, "dekad", pos742).collect()}
+    for d, v in got.items():
+        if lens[d] == 742:
+            assert v == want742[d], d
+        else:
+            assert v is None, d
+
+    # compact path agrees with the plain path on both dates
+    compact = write_tier_tables(spark, out, str(tmp_path / "tiers"),
+                                tiers=("dekad",), compact=True)["dekad"]
+    for date in ("2002186", late):
+        plain = {r["doc_id"]: r["value"] for r in
+                 export_tier_date(spark, out, "dekad", date).collect()}
+        comp = {r["doc_id"]: r["value"] for r in
+                export_compact_date(spark, compact, "dekad", date).collect()}
+        assert comp == plain, date
