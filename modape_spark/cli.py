@@ -87,12 +87,30 @@ def cmd_window(args) -> int:
     --clip-valid VMIN VMAX applies the reference's export-time valid-range
     clip (window.py:382-384); --compact reads a dod-only compact tier
     table via the prefix decoder instead of plain arrays."""
-    if (args.position is None) == (args.date is None):
-        print("window: exactly one of --position / --date is required",
-              file=sys.stderr)
+    n_modes = sum(x is not None for x in
+                  (args.position, args.date, args.begin_date))
+    if n_modes != 1 or (args.begin_date is None) != (args.end_date is None):
+        print("window: exactly one of --position / --date / "
+              "--begin-date+--end-date is required", file=sys.stderr)
         return 2
     spark = _spark(args)
     clip = tuple(args.clip_valid) if args.clip_valid else None
+    if args.begin_date is not None:
+        from .tiers import export_tier_range
+        if args.compact:
+            print("window: --compact supports --position/--date "
+                  "(range export reads the plain tier)", file=sys.stderr)
+            return 2
+        sl = export_tier_range(spark, args.tiers, args.tier,
+                               args.begin_date, args.end_date,
+                               clip_valid=clip)
+        sl.write.mode("overwrite").partitionBy("date").parquet(args.out)
+        print(json.dumps({"tier": args.tier,
+                          "begin_date": args.begin_date,
+                          "end_date": args.end_date,
+                          "rows": sl.count(), "out": args.out,
+                          "clip_valid": list(clip) if clip else None}))
+        return 0
     if args.date is not None:
         if args.compact:
             from .tiers import export_compact_date
@@ -223,6 +241,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="julian YYYYDDD calendar date (modis_window "
                         "contract); resolved per length to a grid "
                         "position, NULL where the grid lacks the date")
+    w.add_argument("--begin-date", dest="begin_date", default=None,
+                   help="julian YYYYDDD range start: one date="
+                        " partition per in-range target date")
+    w.add_argument("--end-date", dest="end_date", default=None)
     w.add_argument("--out", required=True)
     w.add_argument("--clip-valid", dest="clip_valid", type=int, nargs=2,
                    default=None, metavar=("VMIN", "VMAX"))

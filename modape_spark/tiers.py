@@ -469,6 +469,50 @@ def export_tier_date(spark: SparkSession, combined_dir: str, tier: str,
     )
 
 
+def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
+                      begin_julian: str, end_julian: str,
+                      clip_valid: tuple[int, int] | None = None,
+                      nodata: int = NODATA_INT) -> DataFrame:
+    """S9 date-RANGE export (the reference CLI's actual interface:
+    modis_window --begin-date/--end-date emits one raster per target
+    date in the range; modis_window.py:28-31).
+
+    ONE scan for the whole range: the (n_tok, date, position) dim —
+    every in-range target date of every distinct length — broadcasts
+    onto the table and the inner join fans each row out to exactly its
+    in-range dates.  Output (doc_id, source, date, value) is ready for
+    a ``partitionBy("date")`` write (one directory per date, the
+    per-date-raster layout).  Julian YYYYDDD strings are fixed-width so
+    lexicographic range compare == chronological."""
+    from .constants import STRES_DEKAD, STRES_PENTAD
+    from .grids import grid_for_length, raw_dates_for_length
+
+    if begin_julian > end_julian:
+        raise ValueError(f"begin {begin_julian} after end {end_julian}")
+    col = tier if tier in ("dekad", "pentad") else "smoothed"
+    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
+    df = spark.read.parquet(combined_dir)
+    lengths = [r[0] for r in df.select("n_tok").distinct().collect()]
+    dim_rows = []
+    for n in lengths:
+        n = int(n)
+        dates = (grid_for_length(n, stres).target_dates if stres is not None
+                 else tuple(raw_dates_for_length(n)))
+        dim_rows.extend(
+            (n, d, i + 1) for i, d in enumerate(dates)
+            if begin_julian <= d <= end_julian)
+    dim = spark.createDataFrame(dim_rows or [(None, None, None)],
+                                "n_tok int, date string, _pos int") \
+        .filter(F.col("n_tok").isNotNull())
+    value = _clip_value(F.try_element_at(col, F.col("_pos")),
+                        clip_valid, nodata)
+    return (
+        df.join(F.broadcast(dim), "n_tok")
+        .select("doc_id", "source", "date",
+                value.cast("int").alias("value"))
+    )
+
+
 def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
                         date_julian: str,
                         clip_valid: tuple[int, int] | None = None,

@@ -149,3 +149,23 @@ def test_cli_window_by_date(tmp_path):
         f"select count(*), count(value) from parquet_scan('{exp}/*.parquet')"
     ).fetchone()
     assert n[0] == 40 and n[1] == 40
+
+
+def test_cli_window_date_range(tmp_path):
+    from modape_spark.cli import main
+
+    raw = str(tmp_path / "raw")
+    tiers = str(tmp_path / "tiers")
+    exp = str(tmp_path / "exp")
+    assert main(["collect", "--n-rows", "30", "--out", raw]) == 0
+    assert main(["smooth", "--raw", raw, "--out", tiers,
+                 "--svalue", "1.0", "--tempint", "10", "--buckets", "4"]) == 0
+    assert main(["window", "--tiers", tiers, "--tier", "dekad",
+                 "--begin-date", "2002186", "--end-date", "2002215",
+                 "--out", exp]) == 0
+    import os
+    dates = sorted(d for d in os.listdir(exp) if d.startswith("date="))
+    assert dates == ["date=2002186", "date=2002196", "date=2002206"]
+    # --begin-date without --end-date rejected
+    assert main(["window", "--tiers", tiers, "--tier", "dekad",
+                 "--begin-date", "2002186", "--out", exp]) == 2

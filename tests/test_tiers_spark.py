@@ -318,3 +318,26 @@ def test_export_tier_date_matches_position_and_nulls(spark, tmp_path):
         comp = {r["doc_id"]: r["value"] for r in
                 export_compact_date(spark, compact, "dekad", date).collect()}
         assert comp == plain, date
+
+
+def test_export_tier_range_one_dir_per_date(spark, tmp_path):
+    """Range export == union of per-date exports, keyed by date; rows
+    whose grid lacks an in-range date are absent for that date (inner
+    join), matching the reference's per-date raster semantics."""
+    from modape_spark.tiers import export_tier_date, export_tier_range
+
+    out = str(tmp_path / "exp")
+    materialize_rollup(sequences_df(spark, 80, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+    begin, end = "2002186", "2002215"   # first three dekads of every grid
+    rng = export_tier_range(spark, out, "dekad", begin, end)
+    by_date = {}
+    for r in rng.collect():
+        by_date.setdefault(r["date"], {})[r["doc_id"]] = r["value"]
+    assert sorted(by_date) == ["2002186", "2002196", "2002206"]
+    for date, vals in by_date.items():
+        single = {r["doc_id"]: r["value"] for r in
+                  export_tier_date(spark, out, "dekad", date).collect()
+                  if r["value"] is not None}
+        assert vals == single, date
