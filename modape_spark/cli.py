@@ -87,6 +87,20 @@ def cmd_window(args) -> int:
     --clip-valid VMIN VMAX applies the reference's export-time valid-range
     clip (window.py:382-384); --compact reads a dod-only compact tier
     table via the prefix decoder instead of plain arrays."""
+    if args.sgrid:
+        # reference --sgrid (modis_window.py:37): export the stored
+        # lambda grid instead of tier data; date/position modes unused
+        from pyspark.sql import functions as F
+
+        spark = _spark(args)
+        df = spark.read.parquet(args.tiers).select(
+            "doc_id", "source", F.col("sopt_log10").alias("value"))
+        if args.filter_source:
+            df = df.filter(F.col("source") == args.filter_source)
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"sgrid": True, "rows": df.count(),
+                          "out": args.out}))
+        return 0
     n_modes = sum(x is not None for x in
                   (args.position, args.date, args.begin_date))
     if n_modes != 1 or (args.begin_date is None) != (args.end_date is None):
@@ -104,6 +118,8 @@ def cmd_window(args) -> int:
         sl = export_tier_range(spark, args.tiers, args.tier,
                                args.begin_date, args.end_date,
                                clip_valid=clip)
+        if args.filter_source:
+            sl = sl.filter(sl.source == args.filter_source)
         sl.write.mode("overwrite").partitionBy("date").parquet(args.out)
         print(json.dumps({"tier": args.tier,
                           "begin_date": args.begin_date,
@@ -128,6 +144,8 @@ def cmd_window(args) -> int:
         from .tiers import export_tier_slice
         sl = export_tier_slice(spark, args.tiers, args.tier, args.position,
                                clip_valid=clip)
+    if args.filter_source:
+        sl = sl.filter(sl.source == args.filter_source)
     sl.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"tier": args.tier, "position": args.position,
                       "date": args.date,
@@ -245,6 +263,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="julian YYYYDDD range start: one date="
                         " partition per in-range target date")
     w.add_argument("--end-date", dest="end_date", default=None)
+    w.add_argument("--sgrid", action="store_true",
+                   help="export the stored lambda grid (sopt_log10) "
+                        "instead of tier data (reference --sgrid)")
+    w.add_argument("--filter-source", dest="filter_source", default=None,
+                   help="restrict the export to one source (reference "
+                        "--filter-product analogue)")
     w.add_argument("--out", required=True)
     w.add_argument("--clip-valid", dest="clip_valid", type=int, nargs=2,
                    default=None, metavar=("VMIN", "VMAX"))

@@ -169,3 +169,29 @@ def test_cli_window_date_range(tmp_path):
     # --begin-date without --end-date rejected
     assert main(["window", "--tiers", tiers, "--tier", "dekad",
                  "--begin-date", "2002186", "--out", exp]) == 2
+
+
+def test_cli_window_sgrid_and_source_filter(tmp_path):
+    from modape_spark.cli import main
+
+    raw = str(tmp_path / "raw")
+    tiers = str(tmp_path / "tiers")
+    exp1 = str(tmp_path / "sg")
+    exp2 = str(tmp_path / "flt")
+    assert main(["collect", "--n-rows", "40", "--out", raw]) == 0
+    assert main(["smooth", "--raw", raw, "--out", tiers,
+                 "--tempint", "10", "--buckets", "4"]) == 0   # optimizing
+    assert main(["window", "--tiers", tiers, "--sgrid",
+                 "--out", exp1]) == 0
+    assert main(["window", "--tiers", tiers, "--tier", "dekad",
+                 "--position", "1", "--filter-source", "web",
+                 "--out", exp2]) == 0
+    import duckdb
+    con = duckdb.connect()
+    n_sg = con.execute(
+        f"select count(*) from parquet_scan('{exp1}/*.parquet')").fetchone()[0]
+    assert n_sg == 40
+    srcs = con.execute(
+        f"select distinct source from parquet_scan('{exp2}/*.parquet')"
+    ).fetchall()
+    assert srcs == [("web",)]
