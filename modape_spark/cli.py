@@ -61,9 +61,34 @@ def cmd_smooth(args) -> int:
                        else resolved["tshift"]),
             "epoch": resolved["epoch"],
         }
+    srange = None
+    if args.srange:
+        # reference semantics (modis_smooth.py:196-203): (smin, smax,
+        # sstep) -> np.arange(smin, smax + sstep, sstep).round(2)
+        import numpy as np
+
+        if len(args.srange) != 3:
+            print("smooth: --srange expects SMIN SMAX SSTEP",
+                  file=sys.stderr)
+            return 2
+        smin, smax, sstep = args.srange
+        srange = tuple(np.arange(smin, smax + sstep, sstep).round(2))
+    if args.sgrid:
+        # reference --sgrid (modis_smooth.py:169-190): consume a
+        # previously exported lambda grid; fixed-from-sgrid forward run
+        # via the sopt_log10 state join (J6)
+        from pyspark.sql import functions as F
+
+        sg = spark.read.parquet(args.sgrid).select(
+            "doc_id", F.col("value").alias("sopt_log10"))
+        raw = raw.join(sg, "doc_id")
+        args.soptimize = False
+        args.svalue = None
     cfg = SmoothConfig(
-        soptimize=args.soptimize or args.svalue is None,
+        soptimize=(args.soptimize or args.svalue is None)
+        and args.sgrid is None,
         svalue=args.svalue,
+        srange=srange,
         p=args.pvalue,
         tempint=tuple(args.tempint),
         nsmooth=args.nsmooth,
@@ -235,6 +260,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", required=True)
     s.add_argument("--svalue", type=float, default=None)
     s.add_argument("--soptimize", action="store_true")
+    s.add_argument("--srange", type=float, nargs="*", default=None,
+                   metavar="S", help="SMIN SMAX SSTEP: fixed log10-lambda "
+                   "search grid for the V-curve (reference --srange)")
+    s.add_argument("--sgrid", default=None,
+                   help="parquet dir of a previously exported lambda grid "
+                        "(window --sgrid output); smooth fixed-from-grid")
     s.add_argument("--pvalue", type=float, default=None)
     s.add_argument("--tempint", type=int, nargs="*", default=[10, 5])
     s.add_argument("--nsmooth", type=int, default=0)

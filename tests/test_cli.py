@@ -195,3 +195,44 @@ def test_cli_window_sgrid_and_source_filter(tmp_path):
         f"select distinct source from parquet_scan('{exp2}/*.parquet')"
     ).fetchall()
     assert srcs == [("web",)]
+
+
+def test_cli_smooth_srange_and_sgrid_import(tmp_path):
+    """Reference modis_smooth --srange and --sgrid flags: a custom
+    V-curve lambda grid, and a fixed-from-imported-sgrid forward run
+    (export with window --sgrid, re-consume with smooth --sgrid)."""
+    import duckdb
+
+    from modape_spark.cli import main
+
+    raw = str(tmp_path / "raw")
+    t_opt = str(tmp_path / "t_opt")
+    t_rng = str(tmp_path / "t_rng")
+    t_fix = str(tmp_path / "t_fix")
+    sg = str(tmp_path / "sg")
+    assert main(["collect", "--n-rows", "40", "--out", raw]) == 0
+    assert main(["smooth", "--raw", raw, "--out", t_opt,
+                 "--tempint", "10", "--buckets", "4"]) == 0
+    assert main(["smooth", "--raw", raw, "--out", t_rng,
+                 "--srange", "0", "3", "0.2",
+                 "--tempint", "10", "--buckets", "4"]) == 0
+    assert main(["window", "--tiers", t_opt, "--sgrid", "--out", sg]) == 0
+    assert main(["smooth", "--raw", raw, "--out", t_fix, "--sgrid", sg,
+                 "--tempint", "10", "--buckets", "4"]) == 0
+    con = duckdb.connect()
+    q = "select count(*), sum(covered::int) from parquet_scan('{}/bucket=*/*.parquet')"
+    n_opt, cov_opt = con.execute(q.format(t_opt)).fetchone()
+    n_fix, cov_fix = con.execute(q.format(t_fix)).fetchone()
+    n_rng, _ = con.execute(q.format(t_rng)).fetchone()
+    assert n_opt == n_fix == n_rng == 40
+    assert cov_opt == cov_fix   # same coverage gate either path
+    # fixed-from-sgrid reproduces the optimizing smoothed sums within the
+    # float32-sgrid rounding tolerance (tests/test_entry.py contract)
+    sums = con.execute(f"""
+        select a.doc_id,
+               list_sum(a.smoothed) as sa, list_sum(b.smoothed) as sb
+        from parquet_scan('{t_opt}/bucket=*/*.parquet') a
+        join parquet_scan('{t_fix}/bucket=*/*.parquet') b using (doc_id)
+        where a.covered
+    """).fetchall()
+    assert sums and all(abs(sa - sb) <= 2 for _, sa, sb in sums)
