@@ -208,6 +208,18 @@ def cmd_info(args) -> int:
     }
     if "bucket" in df.columns and "smoothed" in df.columns:
         summary["buckets"] = bucket_lineage(df).count()
+    if "n_tok" in df.columns:
+        # reference modis_info date report (modis_info.py:28-34,65-67):
+        # start/end of the raw axis + last collected, per distinct length
+        from .grids import raw_dates_for_length
+
+        lengths = sorted(
+            int(r[0]) for r in df.select("n_tok").distinct().collect())
+        summary["date_axis"] = {
+            str(n): {"start_date": raw_dates_for_length(n)[0],
+                     "last_collected": raw_dates_for_length(n)[-1]}
+            for n in lengths
+        }
     print(json.dumps(summary))
     return 0
 
