@@ -234,7 +234,13 @@ def cmd_retention(args) -> int:
     spark = _spark(args)
     raw = spark.read.parquet(args.raw)
     trimmed = retention_trim(raw, args.keep)
-    trimmed.write.mode("overwrite").parquet(args.out)
+    w = trimmed.write.mode("overwrite")
+    if "bucket" in trimmed.columns:
+        # catalog layout in -> catalog layout out: the trim is a per-row
+        # projection, so the bucket co-partitioning survives for free and
+        # downstream state joins stay co-located
+        w = w.partitionBy("bucket")
+    w.parquet(args.out)
     stats = retention_stats(spark.read.parquet(args.out), args.keep).collect()
     print(json.dumps({
         "keep": args.keep, "out": args.out,
