@@ -134,6 +134,10 @@ def cmd_window(args) -> int:
         return 2
     spark = _spark(args)
     clip = tuple(args.clip_valid) if args.clip_valid else None
+    axis = None
+    if args.product:
+        from .constants import temporal_params
+        axis = temporal_params(args.product)
     if args.begin_date is not None:
         from .tiers import export_tier_range
         if args.compact:
@@ -142,7 +146,7 @@ def cmd_window(args) -> int:
             return 2
         sl = export_tier_range(spark, args.tiers, args.tier,
                                args.begin_date, args.end_date,
-                               clip_valid=clip)
+                               clip_valid=clip, axis=axis)
         if args.filter_source:
             sl = sl.filter(sl.source == args.filter_source)
         sl.write.mode("overwrite").partitionBy("date").parquet(args.out)
@@ -156,11 +160,11 @@ def cmd_window(args) -> int:
         if args.compact:
             from .tiers import export_compact_date
             sl = export_compact_date(spark, args.tiers, args.tier,
-                                     args.date, clip_valid=clip)
+                                     args.date, clip_valid=clip, axis=axis)
         else:
             from .tiers import export_tier_date
             sl = export_tier_date(spark, args.tiers, args.tier, args.date,
-                                  clip_valid=clip)
+                                  clip_valid=clip, axis=axis)
     elif args.compact:
         from .tiers import export_compact_slice
         sl = export_compact_slice(spark, args.tiers, args.tier,
@@ -318,6 +322,10 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--filter-source", dest="filter_source", default=None,
                    help="restrict the export to one source (reference "
                         "--filter-product analogue)")
+    w.add_argument("--product", default=None,
+                   help="resolve the date axis (rtres/tshift/epoch) from "
+                        "the per-product table — must match the product "
+                        "the table was smoothed with")
     w.add_argument("--out", required=True)
     w.add_argument("--clip-valid", dest="clip_valid", type=int, nargs=2,
                    default=None, metavar=("VMIN", "VMAX"))

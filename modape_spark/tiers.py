@@ -413,23 +413,35 @@ def export_tier_slice(spark: SparkSession, combined_dir: str, tier: str,
     )
 
 
-def date_positions(lengths, tier: str, date_julian: str) -> dict[int, int | None]:
+def date_positions(lengths, tier: str, date_julian: str,
+                   axis: dict | None = None) -> dict[int, int | None]:
     """1-based position of a julian YYYYDDD date on each length's axis:
     the dekad/pentad target grid for those tiers, the raw rtres axis for
     ``smoothed``.  None when the date is outside that length's grid —
     per-length grids END at different dates, which is why a date export
-    cannot be a single scalar position across mixed-length tables."""
-    from .constants import STRES_DEKAD, STRES_PENTAD
+    cannot be a single scalar position across mixed-length tables.
+
+    ``axis``: optional per-product axis overrides (rtres / tshift /
+    epoch / tempint_start) — MUST match the parameters the table was
+    smoothed with (constants.temporal_params / smooth --product), else
+    dates resolve on the wrong grid."""
+    from .constants import EPOCH_JULIAN, RTRES, STRES_DEKAD, STRES_PENTAD, TSHIFT
     from .grids import grid_for_length, raw_dates_for_length
 
+    ax = axis or {}
+    rtres = int(ax.get("rtres", RTRES))
+    tshift = int(ax.get("tshift", TSHIFT))
+    epoch = ax.get("epoch", EPOCH_JULIAN)
+    start = ax.get("tempint_start")
     stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
     out: dict[int, int | None] = {}
     for n in lengths:
         n = int(n)
         if stres is not None:
-            dates = grid_for_length(n, stres).target_dates
+            dates = grid_for_length(n, stres, rtres, tshift, epoch,
+                                    start).target_dates
         else:
-            dates = tuple(raw_dates_for_length(n))
+            dates = tuple(raw_dates_for_length(n, epoch, rtres))
         out[n] = dates.index(date_julian) + 1 if date_julian in dates else None
     return out
 
@@ -445,7 +457,8 @@ def _clip_value(value, clip_valid, nodata):
 def export_tier_date(spark: SparkSession, combined_dir: str, tier: str,
                      date_julian: str,
                      clip_valid: tuple[int, int] | None = None,
-                     nodata: int = NODATA_INT) -> DataFrame:
+                     nodata: int = NODATA_INT,
+                     axis: dict | None = None) -> DataFrame:
     """S9 per-date export BY CALENDAR DATE (the reference CLI's contract:
     modis_window --begin-date, window.py) rather than array position.
 
@@ -458,7 +471,7 @@ def export_tier_date(spark: SparkSession, combined_dir: str, tier: str,
     col = tier if tier in ("dekad", "pentad") else "smoothed"
     df = spark.read.parquet(combined_dir)
     lengths = [r[0] for r in df.select("n_tok").distinct().collect()]
-    pos = date_positions(lengths, tier, date_julian)
+    pos = date_positions(lengths, tier, date_julian, axis)
     dim = spark.createDataFrame(
         [(int(n), p) for n, p in pos.items()], "n_tok int, _pos int")
     value = _clip_value(F.try_element_at(col, F.col("_pos")),
@@ -472,7 +485,8 @@ def export_tier_date(spark: SparkSession, combined_dir: str, tier: str,
 def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
                       begin_julian: str, end_julian: str,
                       clip_valid: tuple[int, int] | None = None,
-                      nodata: int = NODATA_INT) -> DataFrame:
+                      nodata: int = NODATA_INT,
+                      axis: dict | None = None) -> DataFrame:
     """S9 date-RANGE export (the reference CLI's actual interface:
     modis_window --begin-date/--end-date emits one raster per target
     date in the range; modis_window.py:28-31).
@@ -484,11 +498,16 @@ def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
     a ``partitionBy("date")`` write (one directory per date, the
     per-date-raster layout).  Julian YYYYDDD strings are fixed-width so
     lexicographic range compare == chronological."""
-    from .constants import STRES_DEKAD, STRES_PENTAD
+    from .constants import EPOCH_JULIAN, RTRES, STRES_DEKAD, STRES_PENTAD, TSHIFT
     from .grids import grid_for_length, raw_dates_for_length
 
     if begin_julian > end_julian:
         raise ValueError(f"begin {begin_julian} after end {end_julian}")
+    ax = axis or {}
+    rtres = int(ax.get("rtres", RTRES))
+    tshift = int(ax.get("tshift", TSHIFT))
+    epoch = ax.get("epoch", EPOCH_JULIAN)
+    start = ax.get("tempint_start")
     col = tier if tier in ("dekad", "pentad") else "smoothed"
     stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
     df = spark.read.parquet(combined_dir)
@@ -496,8 +515,9 @@ def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
     dim_rows = []
     for n in lengths:
         n = int(n)
-        dates = (grid_for_length(n, stres).target_dates if stres is not None
-                 else tuple(raw_dates_for_length(n)))
+        dates = (grid_for_length(n, stres, rtres, tshift, epoch,
+                                 start).target_dates if stres is not None
+                 else tuple(raw_dates_for_length(n, epoch, rtres)))
         dim_rows.extend(
             (n, d, i + 1) for i, d in enumerate(dates)
             if begin_julian <= d <= end_julian)
@@ -516,7 +536,8 @@ def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
 def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
                         date_julian: str,
                         clip_valid: tuple[int, int] | None = None,
-                        nodata: int = NODATA_INT) -> DataFrame:
+                        nodata: int = NODATA_INT,
+                        axis: dict | None = None) -> DataFrame:
     """Per-date export from a compact (dod-only) tier table: one
     prefix-decode pass per distinct length (the C reader takes a scalar
     position, so rows are partitioned by length first — a handful of
@@ -524,7 +545,7 @@ def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
     NULL rows for lengths whose grid lacks the date."""
     src = spark.read.parquet(tier_dir)
     lengths = [r[0] for r in src.select("n_tok").distinct().collect()]
-    pos = date_positions(lengths, tier, date_julian)
+    pos = date_positions(lengths, tier, date_julian, axis)
     parts = []
     for n, p in pos.items():
         flt = F.col("n_tok") == int(n)
