@@ -139,14 +139,16 @@ def cmd_window(args) -> int:
         from .constants import temporal_params
         axis = temporal_params(args.product)
     if args.begin_date is not None:
-        from .tiers import export_tier_range
         if args.compact:
-            print("window: --compact supports --position/--date "
-                  "(range export reads the plain tier)", file=sys.stderr)
-            return 2
-        sl = export_tier_range(spark, args.tiers, args.tier,
-                               args.begin_date, args.end_date,
-                               clip_valid=clip, axis=axis)
+            from .tiers import export_compact_range
+            sl = export_compact_range(spark, args.tiers, args.tier,
+                                      args.begin_date, args.end_date,
+                                      clip_valid=clip, axis=axis)
+        else:
+            from .tiers import export_tier_range
+            sl = export_tier_range(spark, args.tiers, args.tier,
+                                   args.begin_date, args.end_date,
+                                   clip_valid=clip, axis=axis)
         if args.filter_source:
             sl = sl.filter(sl.source == args.filter_source)
         sl.write.mode("overwrite").partitionBy("date").parquet(args.out)

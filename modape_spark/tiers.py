@@ -533,6 +533,48 @@ def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
     )
 
 
+def export_compact_range(spark: SparkSession, tier_dir: str, tier: str,
+                         begin_julian: str, end_julian: str,
+                         clip_valid: tuple[int, int] | None = None,
+                         nodata: int = NODATA_INT,
+                         axis: dict | None = None) -> DataFrame:
+    """Date-range export from a compact (dod-only) tier table: ONE batched
+    C decode pass reconstructs the arrays (read_tier_compact), then the
+    same broadcast (n_tok, date, position) dim as export_tier_range fans
+    rows out to their in-range dates — decode cost is O(rows), never
+    O(rows x dates)."""
+    from .constants import EPOCH_JULIAN, RTRES, STRES_DEKAD, STRES_PENTAD, TSHIFT
+    from .grids import grid_for_length
+
+    if begin_julian > end_julian:
+        raise ValueError(f"begin {begin_julian} after end {end_julian}")
+    if tier not in ("dekad", "pentad"):
+        raise ValueError(f"compact range export supports target tiers, got {tier!r}")
+    ax = axis or {}
+    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}[tier]
+    decoded = read_tier_compact(spark, tier_dir, tier)
+    lengths = [r[0] for r in decoded.select("n_tok").distinct().collect()]
+    dim_rows = []
+    for n in lengths:
+        dates = grid_for_length(
+            int(n), stres, int(ax.get("rtres", RTRES)),
+            int(ax.get("tshift", TSHIFT)), ax.get("epoch", EPOCH_JULIAN),
+            ax.get("tempint_start")).target_dates
+        dim_rows.extend(
+            (int(n), d, i + 1) for i, d in enumerate(dates)
+            if begin_julian <= d <= end_julian)
+    dim = spark.createDataFrame(dim_rows or [(None, None, None)],
+                                "n_tok int, date string, _pos int") \
+        .filter(F.col("n_tok").isNotNull())
+    value = _clip_value(F.try_element_at(tier, F.col("_pos")),
+                        clip_valid, nodata)
+    return (
+        decoded.join(F.broadcast(dim), "n_tok")
+        .select("doc_id", "source", "date",
+                value.cast("int").alias("value"))
+    )
+
+
 def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
                         date_julian: str,
                         clip_valid: tuple[int, int] | None = None,

@@ -341,3 +341,39 @@ def test_export_tier_range_one_dir_per_date(spark, tmp_path):
                   export_tier_date(spark, out, "dekad", date).collect()
                   if r["value"] is not None}
         assert vals == single, date
+
+
+def test_export_compact_range_matches_plain(spark, tmp_path):
+    from modape_spark.tiers import (
+        export_compact_range,
+        export_tier_range,
+        write_tier_tables,
+    )
+
+    out = str(tmp_path / "exp")
+    materialize_rollup(sequences_df(spark, 60, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+    compact = write_tier_tables(spark, out, str(tmp_path / "tiers"),
+                                tiers=("dekad",), compact=True)["dekad"]
+    begin, end = "2002186", "2002215"
+    plain = {(r["doc_id"], r["date"]): r["value"] for r in
+             export_tier_range(spark, out, "dekad", begin, end).collect()}
+    comp = {(r["doc_id"], r["date"]): r["value"] for r in
+            export_compact_range(spark, compact, "dekad", begin, end).collect()}
+    assert comp == plain and len(plain) == 180   # 60 docs x 3 dekads
+
+
+def test_export_tier_range_plan_single_scan_broadcast(spark, tmp_path):
+    """The range export is ONE file scan + a broadcast dim join no matter
+    how many dates the range covers."""
+    from modape_spark.tiers import export_tier_range
+
+    out = str(tmp_path / "exp")
+    materialize_rollup(sequences_df(spark, 40, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+    df = export_tier_range(spark, out, "dekad", "2002186", "2003005")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 1
