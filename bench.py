@@ -118,7 +118,15 @@ def main() -> None:
                          "steal_pct": round(100 * d[7] / max(sum(d), 1), 2)})
         if dt < 8.0:
             break  # unambiguously uncapped window; don't burn budget
-    timings["tier_all_materialize"] = min(a["seconds"] for a in attempts)
+    # headline selection rule (documented, BENCH/BASELINE.md): among
+    # attempts within 5% of the fastest, prefer the LOWEST-steal one —
+    # a fast sample taken under hypervisor steal is noise, not a
+    # measurement (round-4's recorded headline carried 7.6% steal while
+    # its clean attempts were slower; this rule stops that whipsaw)
+    fastest = min(a["seconds"] for a in attempts)
+    pool = [a for a in attempts if a["seconds"] <= fastest * 1.05]
+    chosen = min(pool, key=lambda a: (a["steal_pct"], a["seconds"]))
+    timings["tier_all_materialize"] = chosen["seconds"]
     headline_sec = timings["tier_all_materialize"]
 
     # cool-down (untimed): the host replenishes its burst budget on a

@@ -62,9 +62,11 @@ def cmd_smooth(args) -> int:
             "epoch": resolved["epoch"],
         }
     srange = None
-    if args.srange:
+    if args.srange is not None:
         # reference semantics (modis_smooth.py:196-203): (smin, smax,
-        # sstep) -> np.arange(smin, smax + sstep, sstep).round(2)
+        # sstep) -> np.arange(smin, smax + sstep, sstep).round(2);
+        # `is not None` (not truthiness) so an empty --srange is an
+        # arity error, not a silent default-optimizing run
         import numpy as np
 
         if len(args.srange) != 3:
@@ -81,7 +83,17 @@ def cmd_smooth(args) -> int:
 
         sg = spark.read.parquet(args.sgrid).select(
             "doc_id", F.col("value").alias("sopt_log10"))
-        raw = raw.join(sg, "doc_id")
+        # LEFT join + explicit missing-state check: an inner join would
+        # silently drop raw rows absent from the grid (the append
+        # validators' rejection style, incremental.validate_append)
+        raw = raw.join(sg, "doc_id", "left")
+        missing = raw.filter(F.col("sopt_log10").isNull()).limit(5)
+        bad = [r["doc_id"] for r in missing.collect()]
+        if bad:
+            print(f"smooth: --sgrid is missing lambda state for some raw "
+                  f"rows (e.g. {bad}); export a complete sgrid first",
+                  file=sys.stderr)
+            return 2
         args.soptimize = False
         args.svalue = None
     cfg = SmoothConfig(
@@ -139,6 +151,10 @@ def cmd_window(args) -> int:
         from .constants import temporal_params
         axis = temporal_params(args.product)
     if args.begin_date is not None:
+        if args.begin_date > args.end_date:
+            print(f"window: --begin-date {args.begin_date} is after "
+                  f"--end-date {args.end_date}", file=sys.stderr)
+            return 2
         if args.compact:
             from .tiers import export_compact_range
             sl = export_compact_range(spark, args.tiers, args.tier,

@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["encode_dod", "encode_dod_rows", "decode_dod", "decode_dod_fast",
-           "decode_dod_rows", "decode_dod_value_at",
+           "decode_dod_rows", "decode_dod_value_at", "decode_dod_values_at",
            "encode_gorilla", "decode_gorilla"]
 
 _MAGIC_DOD = 0xD0
@@ -343,6 +343,53 @@ def decode_dod_value_at(data: np.ndarray, boffs: np.ndarray, k: int
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         boffs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         int(R), int(k),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        raise ValueError(
+            f"dod stream overrun (corrupt payload at row {-rc - 1})")
+    return vals, valid.astype(bool)
+
+
+def decode_dod_values_at(data: np.ndarray, boffs: np.ndarray,
+                         ks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row-position batched decode: value #``ks[r]`` (1-based) of
+    payload r, in one C call.  ``ks[r] < 1`` marks a row whose grid lacks
+    the wanted date — NULL, no decode.  This is the vector form of
+    decode_dod_value_at that lets a calendar-date export over a
+    mixed-length table run as ONE scan (the position is a function of
+    n_tok, already a column).  Returns (values int64[R], valid bool[R])."""
+    import ctypes
+
+    from .ckernel import get_lib
+
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    boffs = np.ascontiguousarray(boffs, dtype=np.int64)
+    ks = np.ascontiguousarray(ks, dtype=np.int64)
+    R = boffs.size - 1
+    if ks.size != R:
+        raise ValueError("ks must have one position per payload")
+    vals = np.zeros(R, dtype=np.int64)
+    valid = np.zeros(R, dtype=np.uint8)
+    if R == 0:
+        return vals, valid.astype(bool)
+    lib = get_lib()
+    if lib is None:
+        for r in range(R):
+            k = int(ks[r])
+            if k < 1:
+                continue
+            pre = decode_dod_prefix(
+                data[boffs[r]:boffs[r + 1]].tobytes(), k)
+            if pre.size >= k:
+                vals[r] = pre[k - 1]
+                valid[r] = 1
+        return vals, valid.astype(bool)
+    rc = lib.dod_value_at_rows_vec(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        boffs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        int(R),
+        ks.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     if rc != 0:

@@ -268,8 +268,27 @@ _SIGSTORE_DIRS: list = []
 import atexit as _atexit  # noqa: E402
 import shutil as _shutil  # noqa: E402
 
-_atexit.register(lambda: [_shutil.rmtree(d, ignore_errors=True)
-                          for d in _SIGSTORE_DIRS])
+def _reap_sigstores() -> None:
+    # drop the catalog ENTRIES too, not just the backing dirs: with a
+    # persistent warehouse/metastore a stale table pointing at a deleted
+    # path would survive across sessions (ADVICE r4)
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            for i in range(len(_SIGSTORE_DIRS)):
+                try:
+                    spark.sql(f"drop table if exists modape_sig_bands_v{i + 1}")
+                except Exception:
+                    pass
+    except Exception:
+        pass
+    for d in _SIGSTORE_DIRS:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+_atexit.register(_reap_sigstores)
 
 
 def _simhash_sql(dialect: str) -> str:

@@ -378,6 +378,55 @@ def materialize_rollup(
     rolled.write.mode(mode).option("partitionOverwriteMode", "dynamic") \
         .option("compression", codec) \
         .partitionBy("bucket").parquet(out_dir)
+    # lengths sidecar: one pruned scan now saves a distinct probe on every
+    # subsequent export against this table (always recomputed from the
+    # full post-write table, so bucket-filtered resumes stay correct)
+    write_table_meta(raw_df.sparkSession, out_dir)
+
+
+_META_FILE = "_modape_meta.json"
+
+
+def write_table_meta(spark: SparkSession, table_dir: str) -> None:
+    """Persist the table's distinct series lengths as a ``_``-prefixed
+    sidecar (parquet readers ignore ``_*`` files).  ONE column-pruned
+    map-side-combined scan at WRITE time replaces the distinct-length
+    probe every subsequent date/range export would otherwise run — at
+    10^12 rows that probe is a full-column scan per CLI invocation.
+    Local-filesystem write (this sandbox); a cloud deployment would go
+    through the Hadoop FileSystem API or keep it as Iceberg table
+    properties."""
+    import json
+    import os
+
+    lengths = sorted(
+        int(r[0]) for r in
+        spark.read.parquet(table_dir).select("n_tok").distinct().collect())
+    tmp = os.path.join(table_dir, _META_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"lengths": lengths}, f)
+    os.replace(tmp, os.path.join(table_dir, _META_FILE))
+
+
+def table_lengths(spark: SparkSession, table_dir: str,
+                  df: DataFrame | None = None) -> list[int]:
+    """Distinct series lengths of a tier/combined table: from the
+    ``_modape_meta.json`` sidecar when present (pure metadata read, no
+    job), else the distinct probe (map-side combined, single pruned
+    column).  Exports also re-resolve unseen lengths lazily, so a stale
+    sidecar can cost one in-UDF grid lookup but never a wrong answer."""
+    import json
+    import os
+
+    meta = os.path.join(table_dir, _META_FILE)
+    try:
+        with open(meta) as f:
+            lengths = json.load(f)["lengths"]
+        return [int(n) for n in lengths]
+    except (OSError, KeyError, ValueError):
+        pass
+    src = df if df is not None else spark.read.parquet(table_dir)
+    return sorted(int(r[0]) for r in src.select("n_tok").distinct().collect())
 
 
 def tier_view(spark: SparkSession, combined_dir: str, tier: str) -> DataFrame:
@@ -470,7 +519,7 @@ def export_tier_date(spark: SparkSession, combined_dir: str, tier: str,
     scale (grids exist per distinct length by design, grids.py)."""
     col = tier if tier in ("dekad", "pentad") else "smoothed"
     df = spark.read.parquet(combined_dir)
-    lengths = [r[0] for r in df.select("n_tok").distinct().collect()]
+    lengths = table_lengths(spark, combined_dir, df)
     pos = date_positions(lengths, tier, date_julian, axis)
     dim = spark.createDataFrame(
         [(int(n), p) for n, p in pos.items()], "n_tok int, _pos int")
@@ -511,7 +560,7 @@ def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
     col = tier if tier in ("dekad", "pentad") else "smoothed"
     stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
     df = spark.read.parquet(combined_dir)
-    lengths = [r[0] for r in df.select("n_tok").distinct().collect()]
+    lengths = table_lengths(spark, combined_dir, df)
     dim_rows = []
     for n in lengths:
         n = int(n)
@@ -542,24 +591,31 @@ def export_compact_range(spark: SparkSession, tier_dir: str, tier: str,
     C decode pass reconstructs the arrays (read_tier_compact), then the
     same broadcast (n_tok, date, position) dim as export_tier_range fans
     rows out to their in-range dates — decode cost is O(rows), never
-    O(rows x dates)."""
+    O(rows x dates).  The ``smoothed`` tier resolves dates on the raw
+    rtres axis (same contract as the plain export_tier_range)."""
     from .constants import EPOCH_JULIAN, RTRES, STRES_DEKAD, STRES_PENTAD, TSHIFT
-    from .grids import grid_for_length
+    from .grids import grid_for_length, raw_dates_for_length
 
     if begin_julian > end_julian:
         raise ValueError(f"begin {begin_julian} after end {end_julian}")
-    if tier not in ("dekad", "pentad"):
-        raise ValueError(f"compact range export supports target tiers, got {tier!r}")
     ax = axis or {}
-    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}[tier]
+    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
     decoded = read_tier_compact(spark, tier_dir, tier)
-    lengths = [r[0] for r in decoded.select("n_tok").distinct().collect()]
+    # the length probe reads the COMPACT parquet (n_tok is a stored
+    # column), never the decoded view — probing through the decode UDF
+    # would pay a full decode pass for one metadata answer
+    lengths = table_lengths(spark, tier_dir)
     dim_rows = []
     for n in lengths:
-        dates = grid_for_length(
-            int(n), stres, int(ax.get("rtres", RTRES)),
-            int(ax.get("tshift", TSHIFT)), ax.get("epoch", EPOCH_JULIAN),
-            ax.get("tempint_start")).target_dates
+        if stres is not None:
+            dates = grid_for_length(
+                int(n), stres, int(ax.get("rtres", RTRES)),
+                int(ax.get("tshift", TSHIFT)), ax.get("epoch", EPOCH_JULIAN),
+                ax.get("tempint_start")).target_dates
+        else:
+            dates = tuple(raw_dates_for_length(
+                int(n), ax.get("epoch", EPOCH_JULIAN),
+                int(ax.get("rtres", RTRES))))
         dim_rows.extend(
             (int(n), d, i + 1) for i, d in enumerate(dates)
             if begin_julian <= d <= end_julian)
@@ -580,31 +636,69 @@ def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
                         clip_valid: tuple[int, int] | None = None,
                         nodata: int = NODATA_INT,
                         axis: dict | None = None) -> DataFrame:
-    """Per-date export from a compact (dod-only) tier table: one
-    prefix-decode pass per distinct length (the C reader takes a scalar
-    position, so rows are partitioned by length first — a handful of
-    column-pruned scans with the n_tok filter pushed down), unioned with
-    NULL rows for lengths whose grid lacks the date."""
+    """Per-date export from a compact (dod-only) tier table in ONE scan
+    regardless of distinct lengths: the calendar date resolves to a
+    per-length grid position (a function of n_tok, already a column), and
+    the C positional reader's VECTOR form (decode_dod_values_at) walks
+    each payload to its own position in a single batched call.  Lengths
+    whose grid lacks the date — and rows whose stored array is shorter
+    than the position — yield NULL.  An empty table yields an empty
+    DataFrame (no distinct-length special case).  Lengths missing from
+    the precomputed map (appended after the meta sidecar was written)
+    resolve lazily inside the UDF — one grid lookup, never a wrong
+    answer."""
+    from .compression import decode_dod_values_at
+
+    dod_col = f"{tier}_dod"
     src = spark.read.parquet(tier_dir)
-    lengths = [r[0] for r in src.select("n_tok").distinct().collect()]
+    lengths = table_lengths(spark, tier_dir, src)
     pos = date_positions(lengths, tier, date_julian, axis)
-    parts = []
-    for n, p in pos.items():
-        flt = F.col("n_tok") == int(n)
-        if p is None:
-            parts.append(
-                src.filter(flt).select(
-                    "doc_id", "source",
-                    F.lit(None).cast("int").alias("value")))
-        else:
-            parts.append(
-                export_compact_slice(spark, tier_dir, tier, p,
-                                     clip_valid=clip_valid, nodata=nodata,
-                                     row_filter=flt))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    pos_map = {int(n): (0 if p is None else int(p)) for n, p in pos.items()}
+
+    def _slice(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            names = batch.schema.names
+            ba = batch.column(names.index(dod_col))
+            if ba.null_count:
+                raise ValueError(
+                    f"null {dod_col} payload: the tier table was "
+                    "written with compress=False — use "
+                    "export_tier_date on the plain tier instead")
+            bufs = ba.buffers()
+            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
+            boffs = raw_off[ba.offset:ba.offset + len(ba) + 1] \
+                .astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            ntok = batch.column(names.index("n_tok")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ks = np.zeros(ntok.size, dtype=np.int64)
+            for n in np.unique(ntok):
+                n = int(n)
+                p = pos_map.get(n)
+                if p is None:
+                    lazy = date_positions([n], tier, date_julian, axis)[n]
+                    p = 0 if lazy is None else int(lazy)
+                    pos_map[n] = p
+                ks[ntok == n] = p
+            vals, valid = decode_dod_values_at(data, boffs, ks)
+            if clip_valid is not None:
+                keep = valid & (vals != int(nodata))
+                vals = np.where(
+                    keep,
+                    np.clip(vals, int(clip_valid[0]), int(clip_valid[1])),
+                    vals)
+            arr = pa.array(vals.astype(np.int32), mask=~valid)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index("doc_id")),
+                 batch.column(names.index("source")), arr],
+                names=["doc_id", "source", "value"])
+
+    return (src.select("doc_id", "source", "n_tok", dod_col)
+            .mapInArrow(_slice, "doc_id string, source string, value int"))
 
 
 def export_compact_slice(spark: SparkSession, tier_dir: str, tier: str,
@@ -679,6 +773,7 @@ def write_tier_tables(
         path = f"{base_dir}/{tier}"
         spark.read.parquet(combined_dir).select(*cols[tier], "bucket") \
             .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        write_table_meta(spark, path)
         out[tier] = path
     return out
 

@@ -77,7 +77,8 @@ def test_merge_upsert_sql_text_and_parses(spark):
 
 def test_merge_executes_on_iceberg_when_available(spark, tmp_path):
     """Executed MERGE INTO integration — runs only when an Iceberg
-    SparkCatalog is configured.  Re-checked round 4 (2026-08): no
+    SparkCatalog is configured.  Re-checked rounds 4 AND 5 (2026-08, full
+    filesystem find + pyiceberg import probe): no
     iceberg-spark-runtime jar exists anywhere in this image and the
     sandbox has no network to fetch one, so this SKIPs here; the parquet
     copy-on-write path above provides the executed upsert coverage and

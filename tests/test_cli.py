@@ -236,3 +236,51 @@ def test_cli_smooth_srange_and_sgrid_import(tmp_path):
         where a.covered
     """).fetchall()
     assert sums and all(abs(sa - sb) <= 2 for _, sa, sb in sums)
+
+
+def test_cli_usage_errors_and_compact_smoothed_range(tmp_path):
+    """Round-5 hardening: empty --srange and begin>end are usage errors
+    (exit 2), an incomplete --sgrid fails loudly instead of dropping
+    rows, and `window --compact` now supports the smoothed tier's raw
+    date axis (equal to the plain path)."""
+    import duckdb
+
+    from modape_spark.cli import main
+
+    raw = str(tmp_path / "raw")
+    tiers = str(tmp_path / "tiers")
+    split = str(tmp_path / "split")
+    e1, e2, sg = (str(tmp_path / p) for p in ("e1", "e2", "sg"))
+    assert main(["collect", "--n-rows", "30", "--out", raw]) == 0
+    # empty --srange: arity error, not a silent default-optimizing run
+    assert main(["smooth", "--raw", raw, "--out", tiers, "--srange"]) == 2
+    assert main(["smooth", "--raw", raw, "--out", tiers,
+                 "--svalue", "1.0", "--tempint", "10", "--buckets", "4"]) == 0
+    # begin after end: usage error, not a traceback
+    assert main(["window", "--tiers", tiers, "--tier", "dekad",
+                 "--begin-date", "2003005", "--end-date", "2002186",
+                 "--out", e1]) == 2
+    # compact smoothed-tier date range == plain
+    assert main(["split", "--tiers", tiers, "--out", split,
+                 "--select", "smoothed", "--compact"]) == 0
+    assert main(["window", "--tiers", f"{split}/smoothed",
+                 "--tier", "smoothed", "--begin-date", "2002185",
+                 "--end-date", "2002225", "--out", e1, "--compact"]) == 0
+    assert main(["window", "--tiers", tiers, "--tier", "smoothed",
+                 "--begin-date", "2002185", "--end-date", "2002225",
+                 "--out", e2]) == 0
+    con = duckdb.connect()
+    a = dict(((d, dt), v) for d, dt, v in con.execute(
+        f"select doc_id, date, value from parquet_scan('{e1}/date=*/*.parquet', hive_partitioning=1)").fetchall())
+    b = dict(((d, dt), v) for d, dt, v in con.execute(
+        f"select doc_id, date, value from parquet_scan('{e2}/date=*/*.parquet', hive_partitioning=1)").fetchall())
+    assert a == b and len(a) == 30 * 6
+    # incomplete sgrid: loud failure, not silent row drops
+    assert main(["window", "--tiers", tiers, "--sgrid", "--out", sg]) == 0
+    sg_part = str(tmp_path / "sg_part.parquet")
+    con.execute(f"copy (select * from parquet_scan('{sg}/*.parquet') limit 10) "
+                f"to '{sg_part}' (format parquet)")
+    t_fix = str(tmp_path / "t_fix")
+    assert main(["smooth", "--raw", raw, "--out", t_fix,
+                 "--sgrid", sg_part, "--tempint", "10",
+                 "--buckets", "4"]) == 2

@@ -225,3 +225,46 @@ def test_decode_dod_value_at_matches_prefix():
                 assert not valid[r], (k, r)
     with pytest.raises(ValueError, match="1-based"):
         decode_dod_value_at(data, boffs, 0)
+
+
+def test_decode_dod_values_at_vector_matches_scalar():
+    """The per-row-position vector decode (C dod_value_at_rows_vec)
+    equals the scalar positional decode at every row, marks ks<1 and
+    past-the-array rows invalid, and the pure-python fallback agrees."""
+    import numpy as np
+
+    from modape_spark import ckernel
+    from modape_spark.compression import (
+        decode_dod_value_at,
+        decode_dod_values_at,
+        encode_dod,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [rng.integers(-3000, 10000, size=n).astype(np.int64)
+            for n in (1, 4, 17, 64, 30)]
+    payloads = [encode_dod(r) for r in rows]
+    data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    boffs = np.zeros(len(payloads) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in payloads], out=boffs[1:])
+
+    ks = np.array([1, 5, 17, 0, 64], dtype=np.int64)  # 0 => NULL row
+    vals, valid = decode_dod_values_at(data, boffs, ks)
+    for r, k in enumerate(ks):
+        if k < 1 or k > rows[r].size:
+            assert not valid[r], r
+        else:
+            assert valid[r] and vals[r] == rows[r][k - 1], r
+    # cross-check vs the scalar reader at a shared position
+    v2, ok2 = decode_dod_value_at(data, boffs, 4)
+    vv, okv = decode_dod_values_at(data, boffs, np.full(5, 4, dtype=np.int64))
+    assert np.array_equal(ok2, okv) and np.array_equal(v2[ok2], vv[okv])
+
+    # pure-python fallback bit-parity
+    saved = ckernel.get_lib
+    try:
+        ckernel.get_lib = lambda: None
+        pv, pok = decode_dod_values_at(data, boffs, ks)
+    finally:
+        ckernel.get_lib = saved
+    assert np.array_equal(pok, valid) and np.array_equal(pv[pok], vals[valid])

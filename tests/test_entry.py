@@ -114,3 +114,12 @@ def test_grid_shape_golden(spark):
                    (128, (101, 200, 1017, "2002186", "2005105"))):
         if n in by_len:
             assert by_len[n] == exp, n
+
+
+def test_retention_compact_lifecycle_counters(spark):
+    """trim -> windowed rollup -> compact write -> C decode must compose
+    losslessly AND equal an untrimmed run of the same windowed config."""
+    r = entry_mod.queries()["retention_compact_lifecycle"](spark, SF_DIR) \
+        .collect()[0]
+    assert r["n_rows"] > 0
+    assert r["n_rows"] == r["n_compact_exact"] == r["n_full_equal"]

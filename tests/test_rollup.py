@@ -137,3 +137,38 @@ def test_sequences_doc_ids_do_not_truncate_beyond_12_digits(spark):
     got = sorted(r["doc_id"] for r in rows)
     assert got == [f"doc{big + j:012d}" for j in range(3)]
     assert got[0] == "doc1000000000005"
+
+
+def test_kernel_fixedpoint_exactness():
+    """Gapped linear ramps are exact fixed points of the full rollup
+    (smooth + optimize + envelope + daily interp + rint): zero residual
+    and zero second difference is the unique global minimum of the
+    Whittaker objective, and with epoch 2003001 / lengths 24,40 the raw
+    axis never crosses a year restart, so the dekad/pentad samples carry
+    the closed form a + c*(doy - 1 - tshift).  This is the numpy-level
+    pin of the driver's tier_kernel_fixedpoint DuckDB oracle."""
+    import numpy as np
+
+    from modape_spark.grids import grid_for_length
+    from modape_spark.rollup import SmoothConfig, process_length_group
+
+    cfg = SmoothConfig(soptimize=True, p=0.90, tempint=(10, 5),
+                       epoch="2003001")
+    for n in (24, 40):
+        docs = np.arange(60)
+        a = 1000 + (docs % 7) * 16
+        c = docs % 5
+        Y = a[:, None] + 8 * c[:, None] * np.arange(n)[None, :]
+        Y = Y.astype(np.float64)
+        gaps = (docs[:, None] * 7 + np.arange(n)[None, :] * 3) % 5 == 0
+        Y[gaps] = -3000.0
+        res = process_length_group(Y, n, cfg)
+        assert res.covered.all()
+        line = (a[:, None] + 8 * c[:, None] * np.arange(n)[None, :])
+        assert np.array_equal(res.smoothed, line)
+        for stres in (10, 5):
+            doys = np.array([int(d[4:]) for d in
+                             grid_for_length(n, stres, epoch="2003001")
+                             .target_dates])
+            exp = a[:, None] + c[:, None] * (doys[None, :] - 9)
+            assert np.array_equal(res.interp[stres], exp), (n, stres)

@@ -377,3 +377,102 @@ def test_export_tier_range_plan_single_scan_broadcast(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_export_compact_date_single_scan_plan(spark, tmp_path):
+    """The compact calendar-date export is ONE scan regardless of how
+    many distinct lengths the table holds (the per-row position vector
+    replaces the old union of per-length filtered scans)."""
+    from modape_spark.tiers import export_compact_date, write_tier_tables
+
+    out = str(tmp_path / "exp")
+    raw = sequences_df(spark, 120, partitions=2)  # mixed lengths 16/64/128/742
+    materialize_rollup(raw, out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+    compact = write_tier_tables(spark, out, str(tmp_path / "tiers"),
+                                tiers=("dekad",), compact=True)["dekad"]
+    df = export_compact_date(spark, compact, "dekad", "2002186")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_export_compact_date_empty_table(spark, tmp_path):
+    """An empty compact tier table exports as an empty DataFrame (the old
+    per-length union raised IndexError on zero distinct lengths)."""
+    from modape_spark.tiers import export_compact_date, write_tier_tables
+
+    out = str(tmp_path / "exp")
+    raw = sequences_df(spark, 40, partitions=2)
+    materialize_rollup(raw, out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+    compact = write_tier_tables(spark, out, str(tmp_path / "tiers"),
+                                tiers=("dekad",), compact=True)["dekad"]
+    empty = spark.read.parquet(compact).filter("n_tok < 0")
+    edir = str(tmp_path / "empty")
+    empty.write.parquet(edir)
+    got = export_compact_date(spark, edir, "dekad", "2002186")
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "source", "value"]
+
+
+def test_export_compact_range_smoothed_matches_plain(spark, tmp_path):
+    """The compact range export supports the smoothed tier (raw rtres
+    axis dates), matching the plain path row-for-row."""
+    from modape_spark.tiers import (
+        export_compact_range,
+        export_tier_range,
+        write_tier_tables,
+    )
+
+    out = str(tmp_path / "exp")
+    materialize_rollup(sequences_df(spark, 60, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=()),
+                       n_buckets=4)
+    compact = write_tier_tables(spark, out, str(tmp_path / "tiers"),
+                                tiers=("smoothed",), compact=True)["smoothed"]
+    begin, end = "2002185", "2002225"   # first six raw dates
+    plain = {(r["doc_id"], r["date"]): r["value"] for r in
+             export_tier_range(spark, out, "smoothed", begin, end).collect()}
+    comp = {(r["doc_id"], r["date"]): r["value"] for r in
+            export_compact_range(spark, compact, "smoothed", begin, end).collect()}
+    assert comp == plain and plain
+
+
+def test_lengths_meta_sidecar(spark, tmp_path):
+    """materialize/write_tier_tables persist the distinct lengths as a
+    `_`-prefixed sidecar; table_lengths serves from it (no Spark job),
+    falls back to the distinct probe when absent, and exports stay
+    correct either way."""
+    import json
+    import os
+
+    from modape_spark.tiers import export_tier_date, table_lengths
+
+    out = str(tmp_path / "exp")
+    materialize_rollup(sequences_df(spark, 120, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0, tempint=(10,)),
+                       n_buckets=4)
+    meta = os.path.join(out, "_modape_meta.json")
+    assert os.path.exists(meta)
+    real = sorted(r[0] for r in spark.read.parquet(out)
+                  .select("n_tok").distinct().collect())
+    assert table_lengths(spark, out) == real
+
+    # prove the sidecar is the source: plant a marker set and read it back
+    with open(meta, "w") as f:
+        json.dump({"lengths": [7, 9]}, f)
+    assert table_lengths(spark, out) == [7, 9]
+
+    # fallback: remove the sidecar -> distinct probe
+    os.remove(meta)
+    assert table_lengths(spark, out) == real
+
+    # export correctness with a restored (real) sidecar
+    with open(meta, "w") as f:
+        json.dump({"lengths": real}, f)
+    got = {r["doc_id"]: r["value"] for r in
+           export_tier_date(spark, out, "dekad", "2002186").collect()}
+    assert len(got) == 120
