@@ -660,12 +660,29 @@ def q_kernel_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything below runs the REAL mapInArrow rollup (no special-casing);
     the DuckDB oracle recomputes every output column closed-form.  Input
     is synthesized in pure Catalyst (transform/sequence — no UDF) keyed to
-    documents.doc_id so the oracle is scale-factor independent."""
+    documents.doc_id so the oracle is scale-factor independent.
+
+    The fixed point holds for EVERY kernel dispatch path (any lambda and
+    any envelope returns the same line), so each of the reference's
+    kernels gets its own driver entry against the SAME closed-form
+    oracle: ws2doptvp here (K5), plus kernel_fixedpoint_{ws2d,ws2dp,
+    optv,sgrid} below (K2/K3/K4 and the J6/ST5 state-join forward)."""
+    cfg = SmoothConfig(soptimize=True, p=0.90,
+                       tempint=(STRES_DEKAD, STRES_PENTAD), epoch="2003001")
+    return _fixedpoint_emit(rollup_dataframe(
+        _fixedpoint_input(spark, sf_dir), cfg))
+
+
+def _fixedpoint_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic gapped-linear-ramp sequences keyed to documents
+    .doc_id, synthesized in pure Catalyst: length 24/40 (single calendar
+    year from epoch 2003001 — uniform 8-day axis), intercept a, slope 8c
+    per step, 20% nodata gaps."""
     from .operators.common import table as _table
 
     docs = _table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_num"))
-    seqs = docs.select(
+    return docs.select(
         F.concat(F.lit("fx"), F.col("doc_num").cast("string")).alias("doc_id"),
         F.expr(
             "transform(sequence(0, case when doc_num % 2 = 0 then 23 else 39 end), "
@@ -676,9 +693,9 @@ def q_kernel_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tok"),
         F.lit("fx").alias("source"),
     )
-    cfg = SmoothConfig(soptimize=True, p=0.90,
-                       tempint=(STRES_DEKAD, STRES_PENTAD), epoch="2003001")
-    rolled = rollup_dataframe(seqs, cfg)
+
+
+def _fixedpoint_emit(rolled: DataFrame) -> DataFrame:
     return rolled.select(
         F.expr("cast(substring(doc_id, 3) as bigint)").alias("doc_id"),
         "n_tok", "covered",
@@ -694,6 +711,53 @@ def q_kernel_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("pentad", 1).alias("p_first"),
         F.element_at("pentad", -1).alias("p_last"),
     ).orderBy("doc_id")
+
+
+_FX_TEMPINT = (STRES_DEKAD, STRES_PENTAD)
+
+
+def q_kernel_fixedpoint_ws2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 ws2d (fixed lambda, symmetric) under the fixed-point oracle —
+    the dispatch path of tier_fixed_lambda (_whittaker.pyx:67-107)."""
+    cfg = SmoothConfig(soptimize=False, svalue=1.0, p=None,
+                       tempint=_FX_TEMPINT, epoch="2003001")
+    return _fixedpoint_emit(rollup_dataframe(
+        _fixedpoint_input(spark, sf_dir), cfg))
+
+
+def q_kernel_fixedpoint_ws2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 ws2dp (fixed lambda + asymmetric envelope) under the
+    fixed-point oracle (_whittaker.pyx:162-214)."""
+    cfg = SmoothConfig(soptimize=False, svalue=1.0, p=0.90,
+                       tempint=_FX_TEMPINT, epoch="2003001")
+    return _fixedpoint_emit(rollup_dataframe(
+        _fixedpoint_input(spark, sf_dir), cfg))
+
+
+def q_kernel_fixedpoint_optv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 ws2doptv (V-curve optimization, symmetric) under the
+    fixed-point oracle (_whittaker.pyx:216-293)."""
+    cfg = SmoothConfig(soptimize=True, p=None,
+                       tempint=_FX_TEMPINT, epoch="2003001")
+    return _fixedpoint_emit(rollup_dataframe(
+        _fixedpoint_input(spark, sf_dir), cfg))
+
+
+def q_kernel_fixedpoint_sgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/ST5 fixed-from-sgrid forward run under the fixed-point oracle:
+    optimize once, store sopt (float32, the reference's sgrid dtype),
+    join the state back and re-smooth with svalue=None — the state-join
+    path gets a driver-visible VALUE check (any stored lambda must
+    reproduce the line exactly)."""
+    _release_caches()
+    raw = _track_cache(_fixedpoint_input(spark, sf_dir))
+    cfg_o = SmoothConfig(soptimize=True, p=0.90,
+                         tempint=_FX_TEMPINT, epoch="2003001")
+    state = rollup_dataframe(raw, cfg_o, compress=False).select(
+        "doc_id", "sopt_log10")
+    cfg_f = SmoothConfig(soptimize=False, svalue=None, p=0.90,
+                         tempint=_FX_TEMPINT, epoch="2003001")
+    return _fixedpoint_emit(rollup_dataframe(raw.join(state, "doc_id"), cfg_f))
 
 
 def _kernel_fixedpoint_oracle() -> str:
@@ -959,6 +1023,10 @@ QUERIES = {
     "retention_stats": q_retention_stats,
     "retention_forward": q_retention_forward,
     "tier_kernel_fixedpoint": q_kernel_fixedpoint,
+    "kernel_fixedpoint_ws2d": q_kernel_fixedpoint_ws2d,
+    "kernel_fixedpoint_ws2dp": q_kernel_fixedpoint_ws2dp,
+    "kernel_fixedpoint_optv": q_kernel_fixedpoint_optv,
+    "kernel_fixedpoint_sgrid": q_kernel_fixedpoint_sgrid,
     "tier_optvp_contract": q_optvp_contract,
     "source_rollup_skewed": q_source_rollup_skewed,
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
@@ -971,6 +1039,12 @@ ORACLES: dict[str, str] = {
     "tier_grid_shape": _grid_shape_oracle(),
     "retention_stats": _retention_stats_oracle(),
     "tier_kernel_fixedpoint": _kernel_fixedpoint_oracle(),
+    # every kernel dispatch path reproduces the same closed form — one
+    # oracle body, five independently-exercised engine paths
+    "kernel_fixedpoint_ws2d": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_ws2dp": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_optv": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_sgrid": _kernel_fixedpoint_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
