@@ -835,6 +835,82 @@ def _optvp_midpoints() -> list[float]:
     return sorted(out)
 
 
+def q_kernel_fixedpoint_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2/ST3 incremental forward path under the fixed-point oracle:
+    split the last 2 ramp tokens off as an append batch, run the REAL
+    append (validate + splice, incremental.append_suffixes) and the
+    windowed recompute (nsmooth=16, nupdate=1).  The smoothed window is
+    the line's trailing 16 positions and the single updated dekad point
+    is the grid's last target — both closed-form in DuckDB.  This gives
+    the append/splice/window machinery a driver-visible VALUE check
+    (the rows-only incremental_forward entry keeps the full-noise
+    configuration)."""
+    _release_caches()
+    raw = _track_cache(_fixedpoint_input(spark, sf_dir))
+    raw.count()
+    init = (
+        raw.withColumn("tokens_full", F.col("tokens"))
+        .withColumn("tokens", F.expr("slice(tokens, 1, n_tok - 2)"))
+        .withColumn("n_tok", (F.col("n_tok") - 2).cast("int"))
+    )
+    batches = init.select(
+        "doc_id",
+        F.lit("fwd").alias("batch_id"),
+        F.lit(1).cast("long").alias("proc_ts"),
+        F.expr("slice(tokens_full, n_tok + 1, 2)").alias("tokens_suffix"),
+        F.col("n_tok").cast("int").alias("start_offset"),
+    )
+    updated = append_suffixes(init.drop("tokens_full"), batches)
+    tail = incremental_rollup(
+        updated, nsmooth=16, nupdate=1,
+        cfg=SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD,),
+                         epoch="2003001"))
+    return tail.select(
+        F.expr("cast(substring(doc_id, 3) as bigint)").alias("doc_id"),
+        "n_tok", "covered",
+        F.element_at("smoothed", 1).alias("w_first"),
+        F.element_at("smoothed", -1).alias("w_last"),
+        _checksum("smoothed").alias("w_sum"),
+        F.size("dekad").alias("d_points"),
+        F.element_at("dekad", -1).alias("d_last"),
+    ).orderBy("doc_id")
+
+
+def _kernel_fixedpoint_forward_oracle() -> str:
+    """Closed form of the windowed forward run: the smoothed window is
+    positions n-16..n-1 of the line (sum over i = 16n - 136), the single
+    nupdate dekad point is the last target date of the length's grid."""
+    return """
+        with per as (
+            select doc_id as doc_num,
+                   case when doc_id % 2 = 0 then 24 else 40 end as n,
+                   1000 + (doc_id % 7) * 16 as a,
+                   doc_id % 5 as c
+            from documents
+        ),
+        dk as (
+            select dayofyear(make_date(2003, m.m, d.d)) as doy
+            from (select unnest(generate_series(1, 12)) as m) m,
+                 (select unnest([5, 15, 25]) as d) d
+        ),
+        dka as (
+            select p.doc_num, max(k.doy) as mx
+            from per p join dk k on k.doy <= 8 * p.n + 1
+            group by p.doc_num
+        )
+        select p.doc_num as doc_id,
+               cast(p.n as int) as n_tok,
+               true as covered,
+               cast(p.a + 8 * p.c * (p.n - 16) as int) as w_first,
+               cast(p.a + 8 * p.c * (p.n - 1) as int) as w_last,
+               cast(16 * p.a + 8 * p.c * (16 * p.n - 136) as bigint) as w_sum,
+               cast(1 as int) as d_points,
+               cast(p.a + p.c * (d.mx - 9) as int) as d_last
+        from per p join dka d on d.doc_num = p.doc_num
+        order by doc_id
+    """
+
+
 def q_optvp_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ws2doptvp's V-curve surface under a REAL (partial) DuckDB oracle —
     the range contract of the optimizer (VERDICT r4 next-round #4):
@@ -1027,6 +1103,7 @@ QUERIES = {
     "kernel_fixedpoint_ws2dp": q_kernel_fixedpoint_ws2dp,
     "kernel_fixedpoint_optv": q_kernel_fixedpoint_optv,
     "kernel_fixedpoint_sgrid": q_kernel_fixedpoint_sgrid,
+    "kernel_fixedpoint_forward": q_kernel_fixedpoint_forward,
     "tier_optvp_contract": q_optvp_contract,
     "source_rollup_skewed": q_source_rollup_skewed,
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
@@ -1045,6 +1122,7 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_ws2dp": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_optv": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_sgrid": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_forward": _kernel_fixedpoint_forward_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
