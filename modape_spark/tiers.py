@@ -375,37 +375,65 @@ def materialize_rollup(
     # per-write dynamic overwrite: only the buckets present in this job are
     # replaced (idempotent checkpointed resume) regardless of the session's
     # partitionOverwriteMode default
+    # lengths sidecar rides the write job as an observed metric (no
+    # extra scan); merge keeps bucket-filtered resumes correct
+    rolled, obs = _observe_lengths(rolled)
     rolled.write.mode(mode).option("partitionOverwriteMode", "dynamic") \
         .option("compression", codec) \
         .partitionBy("bucket").parquet(out_dir)
-    # lengths sidecar: one pruned scan now saves a distinct probe on every
-    # subsequent export against this table (always recomputed from the
-    # full post-write table, so bucket-filtered resumes stay correct)
-    write_table_meta(raw_df.sparkSession, out_dir)
+    try:
+        _merge_meta_file(out_dir, obs.get["lengths"])
+    except Exception:
+        pass  # sidecar is an optimization; exports fall back to the probe
 
 
 _META_FILE = "_modape_meta.json"
 
 
-def write_table_meta(spark: SparkSession, table_dir: str) -> None:
-    """Persist the table's distinct series lengths as a ``_``-prefixed
-    sidecar (parquet readers ignore ``_*`` files).  ONE column-pruned
-    map-side-combined scan at WRITE time replaces the distinct-length
-    probe every subsequent date/range export would otherwise run — at
-    10^12 rows that probe is a full-column scan per CLI invocation.
-    Local-filesystem write (this sandbox); a cloud deployment would go
-    through the Hadoop FileSystem API or keep it as Iceberg table
-    properties."""
+def _merge_meta_file(table_dir: str, lengths) -> None:
+    """Union ``lengths`` into the table's sidecar (atomic replace).
+    Merging — not overwriting — keeps bucket-filtered resumes and
+    appends correct: untouched buckets' lengths stay listed.  A length
+    that later disappears from the data only costs a no-op dim row at
+    export time, never a wrong answer.  Local-filesystem write (this
+    sandbox); a cloud deployment would go through the Hadoop FileSystem
+    API or keep it as Iceberg table properties."""
     import json
     import os
 
-    lengths = sorted(
-        int(r[0]) for r in
-        spark.read.parquet(table_dir).select("n_tok").distinct().collect())
-    tmp = os.path.join(table_dir, _META_FILE + ".tmp")
+    merged = {int(n) for n in lengths}
+    meta = os.path.join(table_dir, _META_FILE)
+    try:
+        with open(meta) as f:
+            merged.update(int(n) for n in json.load(f)["lengths"])
+    except (OSError, KeyError, ValueError):
+        pass
+    tmp = meta + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"lengths": lengths}, f)
-    os.replace(tmp, os.path.join(table_dir, _META_FILE))
+        json.dump({"lengths": sorted(merged)}, f)
+    os.replace(tmp, meta)
+
+
+def _observe_lengths(df: DataFrame):
+    """Attach a collect_set(n_tok) observation to a DataFrame about to be
+    written: the distinct series lengths fall out of the WRITE job's own
+    pass as an accumulator metric — zero extra scan, zero extra job (the
+    old post-write distinct probe measurably slowed the timed
+    materialize).  Returns (df, observation)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, F.collect_set("n_tok").alias("lengths")), obs
+
+
+def write_table_meta(spark: SparkSession, table_dir: str) -> None:
+    """Recompute the lengths sidecar from the stored table (one
+    column-pruned map-side-combined scan).  The write paths avoid this
+    via _observe_lengths; this standalone form (re)builds the sidecar
+    for tables written by older versions or external tools."""
+    _merge_meta_file(table_dir, (
+        int(r[0]) for r in
+        spark.read.parquet(table_dir).select("n_tok").distinct().collect()))
 
 
 def table_lengths(spark: SparkSession, table_dir: str,
@@ -771,9 +799,13 @@ def write_tier_tables(
     out = {}
     for tier in tiers:
         path = f"{base_dir}/{tier}"
-        spark.read.parquet(combined_dir).select(*cols[tier], "bucket") \
-            .write.mode("overwrite").partitionBy("bucket").parquet(path)
-        write_table_meta(spark, path)
+        df, obs = _observe_lengths(
+            spark.read.parquet(combined_dir).select(*cols[tier], "bucket"))
+        df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        try:
+            _merge_meta_file(path, obs.get["lengths"])
+        except Exception:
+            pass
         out[tier] = path
     return out
 
