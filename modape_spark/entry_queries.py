@@ -835,6 +835,54 @@ def _optvp_midpoints() -> list[float]:
     return sorted(out)
 
 
+def q_kernel_fixedpoint_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage codec path under the closed-form oracle: fixed-point
+    rollup -> bucket-partitioned parquet -> COMPACT (dod-payload-only)
+    tier tables -> C bit-reader reconstruction — the emitted columns are
+    computed from the DECODED arrays, so the delta-of-delta encoder, the
+    parquet round trip, and the batched C decoder all sit inside the
+    DuckDB value-hash gate (previously gated by self-verifying counters
+    only).  Same oracle as tier_kernel_fixedpoint."""
+    import tempfile
+
+    from .tiers import materialize_rollup, read_tier_compact, write_tier_tables
+
+    _release_caches()
+    cfg = SmoothConfig(soptimize=True, p=0.90,
+                       tempint=(STRES_DEKAD, STRES_PENTAD), epoch="2003001")
+    tmp = tempfile.mkdtemp(prefix="modape_fxcompact_")
+    _TMP_DIRS.append(tmp)
+    comb = f"{tmp}/comb"
+    materialize_rollup(_fixedpoint_input(spark, sf_dir), comb, cfg,
+                       n_buckets=8)
+    tiers = write_tier_tables(spark, comb, f"{tmp}/tiers", compact=True)
+    sm = read_tier_compact(spark, tiers["smoothed"], "smoothed").select(
+        "doc_id", "n_tok", "covered", "smoothed")
+    dk = read_tier_compact(spark, tiers["dekad"], "dekad").select(
+        "doc_id", "dekad")
+    pt = read_tier_compact(spark, tiers["pentad"], "pentad").select(
+        "doc_id", "pentad")
+    return (
+        sm.join(dk, "doc_id").join(pt, "doc_id")
+        .select(
+            F.expr("cast(substring(doc_id, 3) as bigint)").alias("doc_id"),
+            "n_tok", "covered",
+            F.element_at("smoothed", 1).alias("s_first"),
+            F.element_at("smoothed", -1).alias("s_last"),
+            _checksum("smoothed").alias("s_sum"),
+            F.size("dekad").alias("d_total"),
+            _checksum("dekad").alias("d_sum"),
+            F.element_at("dekad", 1).alias("d_first"),
+            F.element_at("dekad", -1).alias("d_last"),
+            F.size("pentad").alias("p_total"),
+            _checksum("pentad").alias("p_sum"),
+            F.element_at("pentad", 1).alias("p_first"),
+            F.element_at("pentad", -1).alias("p_last"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_kernel_fixedpoint_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2/ST3 incremental forward path under the fixed-point oracle:
     split the last 2 ramp tokens off as an append batch, run the REAL
@@ -1104,6 +1152,7 @@ QUERIES = {
     "kernel_fixedpoint_optv": q_kernel_fixedpoint_optv,
     "kernel_fixedpoint_sgrid": q_kernel_fixedpoint_sgrid,
     "kernel_fixedpoint_forward": q_kernel_fixedpoint_forward,
+    "kernel_fixedpoint_compact": q_kernel_fixedpoint_compact,
     "tier_optvp_contract": q_optvp_contract,
     "source_rollup_skewed": q_source_rollup_skewed,
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
@@ -1123,6 +1172,7 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_optv": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_sgrid": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_forward": _kernel_fixedpoint_forward_oracle(),
+    "kernel_fixedpoint_compact": _kernel_fixedpoint_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
