@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .tiers import with_bucket
+from .tiers import (_invalidate_meta, _merge_meta_or_invalidate,
+                    _observe_lengths, with_bucket)
 
 __all__ = ["TableCatalog", "merge_upsert_sql"]
 
@@ -75,24 +76,43 @@ class TableCatalog:
         return self.spark.read.parquet(self.path(name))
 
     # -- writes -----------------------------------------------------------
+    def _observe_write(self, df: DataFrame):
+        """Sidecar maintenance for parquet-path writes: tier-shaped
+        tables (those with an n_tok column) keep their lengths sidecar
+        current via the write job's own observation; any other failure
+        mode deletes the sidecar (missing => the exports' exact distinct
+        probe; STALE is the only state that could drop rows, and the
+        export guard would then raise).  Returns (df, after_write)."""
+        if "n_tok" not in df.columns:
+            return df, _invalidate_meta
+        df, obs = _observe_lengths(df)
+        return df, lambda d: _merge_meta_or_invalidate(d, obs)
+
     def create(self, name: str, df: DataFrame) -> None:
         df = with_bucket(df, self.n_buckets)
         if self.iceberg_catalog:
             df.writeTo(self.path(name)).partitionedBy(F.col("bucket")) \
                 .createOrReplace()
         else:
+            # create replaces the table: any old sidecar is for the OLD
+            # data — drop it first, then merge the observed lengths in
+            _invalidate_meta(self.path(name))
+            df, after = self._observe_write(df)
             df.repartition(self.n_buckets, F.col("bucket")) \
                 .write.mode("overwrite").partitionBy("bucket") \
                 .parquet(self.path(name))
+            after(self.path(name))
 
     def append(self, name: str, df: DataFrame) -> None:
         df = with_bucket(df, self.n_buckets)
         if self.iceberg_catalog:
             df.writeTo(self.path(name)).append()
         else:
+            df, after = self._observe_write(df)
             df.repartition(self.n_buckets, F.col("bucket")) \
                 .write.mode("append").partitionBy("bucket") \
                 .parquet(self.path(name))
+            after(self.path(name))
 
     def upsert(self, name: str, updates: DataFrame, key: str = "doc_id") -> None:
         """MERGE INTO semantics: rows matching on ``key`` are replaced,
@@ -115,8 +135,10 @@ class TableCatalog:
         existing = target.filter(F.col("bucket").isin(touched))
         keep = existing.join(updates.select(key), key, "left_anti")
         merged = keep.unionByName(updates.select(keep.columns))
+        merged, after = self._observe_write(merged)
         # per-write dynamic overwrite: only touched buckets are replaced
         merged.repartition(len(touched), F.col("bucket")) \
             .write.mode("overwrite") \
             .option("partitionOverwriteMode", "dynamic") \
             .partitionBy("bucket").parquet(self.path(name))
+        after(self.path(name))

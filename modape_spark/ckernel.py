@@ -238,62 +238,16 @@ long dod_decode_rows(const unsigned char* buf, const long long* boffs,
     return 0;
 }
 
-/* --- batched positional decode (per-date export from compact tiers) ---
-   For each payload, walk the first k codes WITHOUT materializing the
-   prefix and emit only value #k (1-based).  valid[r]=0 with no error
-   when the stored array is shorter than k (NULL export contract).
-   Returns 0 ok, -(r+1) for the first corrupt row. */
-long dod_value_at_rows(const unsigned char* buf, const long long* boffs,
-                       long R, long k, long long* out,
-                       unsigned char* valid)
-{
-    long r, i;
-    for (r = 0; r < R; r++) {
-        const unsigned char* p = buf + boffs[r];
-        long nbytes = (long)(boffs[r+1] - boffs[r]);
-        long long n, first, prev, prev_d, dod, u;
-        long pos, nbits;
-        valid[r] = 0;
-        if (nbytes < 5 || p[0] != 0xD0) return -(r+1);
-        n = ((long long)p[1] << 24) | ((long long)p[2] << 16)
-          | ((long long)p[3] << 8) | p[4];
-        if (k > n) continue;   /* past the array: NULL */
-        if (nbytes < 13) return -(r+1);
-        first = 0;
-        for (i = 0; i < 8; i++) first = (first << 8) | p[5 + i];
-        prev = first; prev_d = 0;
-        pos = 0; nbits = (nbytes - 13) * 8;
-        for (i = 1; i < k; i++) {
-            const unsigned char* s = p + 13;
-            if (pos >= nbits) return -(r+1);
-            if (rd_bits(s, &pos, 1, nbits) == 0) dod = 0;
-            else if (rd_bits(s, &pos, 1, nbits) == 0)
-                dod = rd_bits(s, &pos, 7, nbits) - 63;
-            else if (rd_bits(s, &pos, 1, nbits) == 0)
-                dod = rd_bits(s, &pos, 9, nbits) - 255;
-            else if (rd_bits(s, &pos, 1, nbits) == 0)
-                dod = rd_bits(s, &pos, 12, nbits) - 2047;
-            else {
-                rd_bits(s, &pos, 1, nbits);
-                u = rd_bits(s, &pos, 36, nbits);
-                dod = (u >> 1) ^ -(u & 1);
-            }
-            if (pos > nbits) return -(r+1);
-            prev_d += dod;
-            prev += prev_d;
-        }
-        out[r] = prev;
-        valid[r] = 1;
-    }
-    return 0;
-}
-
-/* --- per-row-position batched decode -----------------------------------
-   Like dod_value_at_rows but with a POSITION VECTOR: ks[r] is the 1-based
-   position wanted from payload r (ks[r] < 1 => NULL row, skipped).  This
-   is what lets a calendar-date export over a mixed-length table resolve
-   every length's (different) grid position in ONE scan instead of one
-   filtered scan per distinct length.  Returns 0 ok, -(r+1) first bad row. */
+/* --- per-row-position batched positional decode -------------------------
+   For each payload, walk the first ks[r] codes WITHOUT materializing the
+   prefix and emit only value #ks[r] (1-based; ks[r] < 1 => NULL row,
+   skipped).  valid[r]=0 with no error when the stored array is shorter
+   than ks[r] (NULL export contract).  The per-row POSITION VECTOR is what
+   lets a calendar-date export over a mixed-length table resolve every
+   length's (different) grid position in ONE scan instead of one filtered
+   scan per distinct length; the scalar (constant-position) export goes
+   through this same walk with a constant vector — one decoder, never two
+   to keep in sync.  Returns 0 ok, -(r+1) first bad row. */
 long dod_value_at_rows_vec(const unsigned char* buf, const long long* boffs,
                            long R, const long long* ks, long long* out,
                            unsigned char* valid)
@@ -455,12 +409,6 @@ def get_lib():
             ctypes.POINTER(ctypes.c_longlong), ctypes.c_long,
             ctypes.POINTER(ctypes.c_longlong)]
         lib.dod_decode_rows.restype = ctypes.c_long
-        lib.dod_value_at_rows.argtypes = [
-            ctypes.POINTER(ctypes.c_ubyte),
-            ctypes.POINTER(ctypes.c_longlong), ctypes.c_long, ctypes.c_long,
-            ctypes.POINTER(ctypes.c_longlong),
-            ctypes.POINTER(ctypes.c_ubyte)]
-        lib.dod_value_at_rows.restype = ctypes.c_long
         lib.dod_value_at_rows_vec.argtypes = [
             ctypes.POINTER(ctypes.c_ubyte),
             ctypes.POINTER(ctypes.c_longlong), ctypes.c_long,

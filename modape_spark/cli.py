@@ -87,7 +87,10 @@ def cmd_smooth(args) -> int:
         # silently drop raw rows absent from the grid (the append
         # validators' rejection style, incremental.validate_append)
         raw = raw.join(sg, "doc_id", "left")
-        missing = raw.filter(F.col("sopt_log10").isNull()).limit(5)
+        # select BEFORE collect so the validation job's scan prunes to
+        # (doc_id, sopt_log10) and never reads the wide token arrays
+        missing = raw.filter(F.col("sopt_log10").isNull()) \
+            .select("doc_id").limit(5)
         bad = [r["doc_id"] for r in missing.collect()]
         if bad:
             print(f"smooth: --sgrid is missing lambda state for some raw "
@@ -256,6 +259,11 @@ def cmd_retention(args) -> int:
     spark = _spark(args)
     raw = spark.read.parquet(args.raw)
     trimmed = retention_trim(raw, args.keep)
+    # lengths sidecar rides the write (logical n_tok survives the trim —
+    # it IS the date-axis identity exports resolve against)
+    from .tiers import _invalidate_meta, _merge_meta_or_invalidate, _observe_lengths
+    _invalidate_meta(args.out)
+    trimmed, obs = _observe_lengths(trimmed)
     w = trimmed.write.mode("overwrite")
     if "bucket" in trimmed.columns:
         # catalog layout in -> catalog layout out: the trim is a per-row
@@ -263,6 +271,7 @@ def cmd_retention(args) -> int:
         # downstream state joins stay co-located
         w = w.partitionBy("bucket")
     w.parquet(args.out)
+    _merge_meta_or_invalidate(args.out, obs)
     stats = retention_stats(spark.read.parquet(args.out), args.keep).collect()
     print(json.dumps({
         "keep": args.keep, "out": args.out,

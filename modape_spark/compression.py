@@ -316,39 +316,18 @@ def decode_dod_value_at(data: np.ndarray, boffs: np.ndarray, k: int
     C call, never materializing the prefixes — the batched form of
     decode_dod_prefix for the per-date compact export.  Returns
     (values int64[R], valid bool[R]); valid[r] is False when the stored
-    array is shorter than k (NULL export contract)."""
-    import ctypes
+    array is shorter than k (NULL export contract).
 
-    from .ckernel import get_lib
-
+    Thin wrapper over the vector form (decode_dod_values_at with a
+    constant position vector) so exactly ONE decode walk exists — a
+    decoder fix can never reach the scalar path and miss the vector
+    path or vice versa."""
     if k < 1:
         raise ValueError("position is 1-based")
-    data = np.ascontiguousarray(data, dtype=np.uint8)
     boffs = np.ascontiguousarray(boffs, dtype=np.int64)
-    R = boffs.size - 1
-    vals = np.zeros(R, dtype=np.int64)
-    valid = np.zeros(R, dtype=np.uint8)
-    if R == 0:
-        return vals, valid.astype(bool)
-    lib = get_lib()
-    if lib is None:
-        for r in range(R):
-            pre = decode_dod_prefix(
-                data[boffs[r]:boffs[r + 1]].tobytes(), k)
-            if pre.size >= k:
-                vals[r] = pre[k - 1]
-                valid[r] = 1
-        return vals, valid.astype(bool)
-    rc = lib.dod_value_at_rows(
-        data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        boffs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-        int(R), int(k),
-        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
-    if rc != 0:
-        raise ValueError(
-            f"dod stream overrun (corrupt payload at row {-rc - 1})")
-    return vals, valid.astype(bool)
+    return decode_dod_values_at(
+        data, boffs, np.full(max(boffs.size - 1, 0), int(k),
+                             dtype=np.int64))
 
 
 def decode_dod_values_at(data: np.ndarray, boffs: np.ndarray,

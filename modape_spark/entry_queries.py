@@ -862,25 +862,9 @@ def q_kernel_fixedpoint_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dekad")
     pt = read_tier_compact(spark, tiers["pentad"], "pentad").select(
         "doc_id", "pentad")
-    return (
-        sm.join(dk, "doc_id").join(pt, "doc_id")
-        .select(
-            F.expr("cast(substring(doc_id, 3) as bigint)").alias("doc_id"),
-            "n_tok", "covered",
-            F.element_at("smoothed", 1).alias("s_first"),
-            F.element_at("smoothed", -1).alias("s_last"),
-            _checksum("smoothed").alias("s_sum"),
-            F.size("dekad").alias("d_total"),
-            _checksum("dekad").alias("d_sum"),
-            F.element_at("dekad", 1).alias("d_first"),
-            F.element_at("dekad", -1).alias("d_last"),
-            F.size("pentad").alias("p_total"),
-            _checksum("pentad").alias("p_sum"),
-            F.element_at("pentad", 1).alias("p_first"),
-            F.element_at("pentad", -1).alias("p_last"),
-        )
-        .orderBy("doc_id")
-    )
+    # the joined frame carries exactly the columns the shared emit
+    # consumes — one projection contract for all fixed-point entries
+    return _fixedpoint_emit(sm.join(dk, "doc_id").join(pt, "doc_id"))
 
 
 def q_kernel_fixedpoint_forward(spark: SparkSession, sf_dir: str) -> DataFrame:

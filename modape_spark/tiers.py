@@ -381,37 +381,63 @@ def materialize_rollup(
     rolled.write.mode(mode).option("partitionOverwriteMode", "dynamic") \
         .option("compression", codec) \
         .partitionBy("bucket").parquet(out_dir)
-    try:
-        _merge_meta_file(out_dir, obs.get["lengths"])
-    except Exception:
-        pass  # sidecar is an optimization; exports fall back to the probe
+    _merge_meta_or_invalidate(out_dir, obs)
 
 
 _META_FILE = "_modape_meta.json"
 
 
 def _merge_meta_file(table_dir: str, lengths) -> None:
-    """Union ``lengths`` into the table's sidecar (atomic replace).
-    Merging — not overwriting — keeps bucket-filtered resumes and
-    appends correct: untouched buckets' lengths stay listed.  A length
-    that later disappears from the data only costs a no-op dim row at
-    export time, never a wrong answer.  Local-filesystem write (this
-    sandbox); a cloud deployment would go through the Hadoop FileSystem
-    API or keep it as Iceberg table properties."""
+    """Union ``lengths`` into the table's sidecar (atomic replace under
+    an flock, so two concurrent bucket-filtered resume jobs can't
+    read-merge-replace over each other and lose lengths).  Merging — not
+    overwriting — keeps bucket-filtered resumes and appends correct:
+    untouched buckets' lengths stay listed.  A length that later
+    disappears from the data only costs a no-op dim row at export time,
+    never a wrong answer.  Local-filesystem write (this sandbox); a
+    cloud deployment would go through the Hadoop FileSystem API or keep
+    it as Iceberg table properties, whose commit protocol supplies the
+    atomicity the flock supplies here."""
+    import fcntl
     import json
     import os
 
-    merged = {int(n) for n in lengths}
     meta = os.path.join(table_dir, _META_FILE)
+    with open(meta + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        merged = {int(n) for n in lengths}
+        try:
+            with open(meta) as f:
+                merged.update(int(n) for n in json.load(f)["lengths"])
+        except (OSError, KeyError, ValueError):
+            pass
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"lengths": sorted(merged)}, f)
+        os.replace(tmp, meta)
+
+
+def _invalidate_meta(table_dir: str) -> None:
+    """Remove the lengths sidecar (fail-safe): a MISSING sidecar routes
+    every reader to the exact distinct probe, so deletion is always
+    correct; a stale sidecar is the only dangerous state."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(table_dir, _META_FILE))
+
+
+def _merge_meta_or_invalidate(table_dir: str, obs) -> None:
+    """Post-write sidecar maintenance: merge the observed lengths; on
+    ANY failure delete the sidecar rather than leave a possibly-stale
+    one behind (missing => probe fallback => correct; the old bare
+    ``except: pass`` could strand a sidecar that no longer superset the
+    data)."""
     try:
-        with open(meta) as f:
-            merged.update(int(n) for n in json.load(f)["lengths"])
-    except (OSError, KeyError, ValueError):
-        pass
-    tmp = meta + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"lengths": sorted(merged)}, f)
-    os.replace(tmp, meta)
+        _merge_meta_file(table_dir, obs.get["lengths"])
+    except Exception:
+        _invalidate_meta(table_dir)
 
 
 def _observe_lengths(df: DataFrame):
@@ -457,6 +483,70 @@ def table_lengths(spark: SparkSession, table_dir: str,
     return sorted(int(r[0]) for r in src.select("n_tok").distinct().collect())
 
 
+EXPORT_TIERS = ("smoothed", "dekad", "pentad")
+
+
+def _check_tier(tier: str) -> None:
+    """Fail fast at call time — an unknown tier must not surface as a
+    PythonException from inside an executor task (or, worse, silently
+    alias to the smoothed column)."""
+    if tier not in EXPORT_TIERS:
+        raise ValueError(
+            f"export supports tiers {EXPORT_TIERS}, got {tier!r}")
+
+
+def dates_for_length(n: int, tier: str, axis: dict | None = None
+                     ) -> tuple[str, ...]:
+    """The full date axis (julian YYYYDDD strings) of one series length
+    for a tier: the dekad/pentad target grid for those tiers, the raw
+    rtres axis for ``smoothed``.  THE single tier->axis dispatch —
+    date_positions and both range exports all resolve through here, so
+    an axis-handling fix cannot reach one export and miss another.
+
+    ``axis``: optional per-product overrides (rtres / tshift / epoch /
+    tempint_start) — MUST match the parameters the table was smoothed
+    with (constants.temporal_params / smooth --product), else dates
+    resolve on the wrong grid."""
+    from .constants import EPOCH_JULIAN, RTRES, STRES_DEKAD, STRES_PENTAD, TSHIFT
+    from .grids import grid_for_length, raw_dates_for_length
+
+    ax = axis or {}
+    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
+    if stres is not None:
+        return grid_for_length(
+            int(n), stres, int(ax.get("rtres", RTRES)),
+            int(ax.get("tshift", TSHIFT)), ax.get("epoch", EPOCH_JULIAN),
+            ax.get("tempint_start")).target_dates
+    return tuple(raw_dates_for_length(
+        int(n), ax.get("epoch", EPOCH_JULIAN), int(ax.get("rtres", RTRES))))
+
+
+def _assert_known_lengths(spark: SparkSession, df: DataFrame,
+                          lengths) -> DataFrame:
+    """Guard a dim-join export against a stale lengths sidecar: LEFT-join
+    a tiny broadcast dim of the known lengths and raise_error on any row
+    whose n_tok is absent — a data length the sidecar lacks must fail
+    LOUDLY at execution time, never silently drop out of the inner
+    date-dim join downstream.  Zero extra scan (the check rides the
+    export job's own pass); the error names the offending length so the
+    fix (write_table_meta, or delete the sidecar) is obvious."""
+    known = spark.createDataFrame(
+        [(int(n),) for n in lengths] or [(None,)], "n_tok int") \
+        .filter(F.col("n_tok").isNotNull()).withColumn("_known", F.lit(1))
+    guard = F.when(
+        F.col("_known").isNull(),
+        F.raise_error(F.concat(
+            F.lit("series length "),
+            F.col("n_tok").cast("string"),
+            F.lit(" is missing from the table's lengths sidecar "
+                  "(_modape_meta.json is stale — rebuild it with "
+                  "tiers.write_table_meta or delete it to fall back "
+                  "to the distinct probe)"))).cast("boolean")
+    ).otherwise(F.lit(True))
+    return (df.join(F.broadcast(known), "n_tok", "left")
+            .filter(guard).drop("_known"))
+
+
 def tier_view(spark: SparkSession, combined_dir: str, tier: str) -> DataFrame:
     """Column-pruned projection of one retention tier (I/O only)."""
     cols = TIER_COLUMNS[tier]
@@ -498,27 +588,13 @@ def date_positions(lengths, tier: str, date_julian: str,
     per-length grids END at different dates, which is why a date export
     cannot be a single scalar position across mixed-length tables.
 
-    ``axis``: optional per-product axis overrides (rtres / tshift /
-    epoch / tempint_start) — MUST match the parameters the table was
-    smoothed with (constants.temporal_params / smooth --product), else
-    dates resolve on the wrong grid."""
-    from .constants import EPOCH_JULIAN, RTRES, STRES_DEKAD, STRES_PENTAD, TSHIFT
-    from .grids import grid_for_length, raw_dates_for_length
-
-    ax = axis or {}
-    rtres = int(ax.get("rtres", RTRES))
-    tshift = int(ax.get("tshift", TSHIFT))
-    epoch = ax.get("epoch", EPOCH_JULIAN)
-    start = ax.get("tempint_start")
-    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
+    ``axis``: optional per-product axis overrides — see
+    dates_for_length, the shared tier->axis dispatch this resolves
+    through."""
     out: dict[int, int | None] = {}
     for n in lengths:
         n = int(n)
-        if stres is not None:
-            dates = grid_for_length(n, stres, rtres, tshift, epoch,
-                                    start).target_dates
-        else:
-            dates = tuple(raw_dates_for_length(n, epoch, rtres))
+        dates = dates_for_length(n, tier, axis)
         out[n] = dates.index(date_julian) + 1 if date_julian in dates else None
     return out
 
@@ -545,12 +621,15 @@ def export_tier_date(spark: SparkSession, combined_dir: str, tier: str,
     yield NULL.  The distinct-length probe is a map-side-partial
     aggregation over a single low-cardinality column — cheap at any
     scale (grids exist per distinct length by design, grids.py)."""
+    _check_tier(tier)
     col = tier if tier in ("dekad", "pentad") else "smoothed"
     df = spark.read.parquet(combined_dir)
     lengths = table_lengths(spark, combined_dir, df)
+    df = _assert_known_lengths(spark, df, lengths)
     pos = date_positions(lengths, tier, date_julian, axis)
     dim = spark.createDataFrame(
-        [(int(n), p) for n, p in pos.items()], "n_tok int, _pos int")
+        [(int(n), p) for n, p in pos.items()] or [(None, None)],
+        "n_tok int, _pos int").filter(F.col("n_tok").isNotNull())
     value = _clip_value(F.try_element_at(col, F.col("_pos")),
                         clip_valid, nodata)
     return (
@@ -575,32 +654,14 @@ def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
     a ``partitionBy("date")`` write (one directory per date, the
     per-date-raster layout).  Julian YYYYDDD strings are fixed-width so
     lexicographic range compare == chronological."""
-    from .constants import EPOCH_JULIAN, RTRES, STRES_DEKAD, STRES_PENTAD, TSHIFT
-    from .grids import grid_for_length, raw_dates_for_length
-
+    _check_tier(tier)
     if begin_julian > end_julian:
         raise ValueError(f"begin {begin_julian} after end {end_julian}")
-    ax = axis or {}
-    rtres = int(ax.get("rtres", RTRES))
-    tshift = int(ax.get("tshift", TSHIFT))
-    epoch = ax.get("epoch", EPOCH_JULIAN)
-    start = ax.get("tempint_start")
     col = tier if tier in ("dekad", "pentad") else "smoothed"
-    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
     df = spark.read.parquet(combined_dir)
     lengths = table_lengths(spark, combined_dir, df)
-    dim_rows = []
-    for n in lengths:
-        n = int(n)
-        dates = (grid_for_length(n, stres, rtres, tshift, epoch,
-                                 start).target_dates if stres is not None
-                 else tuple(raw_dates_for_length(n, epoch, rtres)))
-        dim_rows.extend(
-            (n, d, i + 1) for i, d in enumerate(dates)
-            if begin_julian <= d <= end_julian)
-    dim = spark.createDataFrame(dim_rows or [(None, None, None)],
-                                "n_tok int, date string, _pos int") \
-        .filter(F.col("n_tok").isNotNull())
+    df = _assert_known_lengths(spark, df, lengths)
+    dim = _range_dim(spark, lengths, tier, begin_julian, end_julian, axis)
     value = _clip_value(F.try_element_at(col, F.col("_pos")),
                         clip_valid, nodata)
     return (
@@ -608,6 +669,24 @@ def export_tier_range(spark: SparkSession, combined_dir: str, tier: str,
         .select("doc_id", "source", "date",
                 value.cast("int").alias("value"))
     )
+
+
+def _range_dim(spark: SparkSession, lengths, tier: str,
+               begin_julian: str, end_julian: str,
+               axis: dict | None) -> DataFrame:
+    """The (n_tok, date, position) broadcast dim of every in-range target
+    date of every distinct length — shared by the plain and compact
+    range exports (one axis dispatch, dates_for_length)."""
+    dim_rows = []
+    for n in lengths:
+        n = int(n)
+        dim_rows.extend(
+            (n, d, i + 1)
+            for i, d in enumerate(dates_for_length(n, tier, axis))
+            if begin_julian <= d <= end_julian)
+    return spark.createDataFrame(dim_rows or [(None, None, None)],
+                                 "n_tok int, date string, _pos int") \
+        .filter(F.col("n_tok").isNotNull())
 
 
 def export_compact_range(spark: SparkSession, tier_dir: str, tier: str,
@@ -621,35 +700,16 @@ def export_compact_range(spark: SparkSession, tier_dir: str, tier: str,
     rows out to their in-range dates — decode cost is O(rows), never
     O(rows x dates).  The ``smoothed`` tier resolves dates on the raw
     rtres axis (same contract as the plain export_tier_range)."""
-    from .constants import EPOCH_JULIAN, RTRES, STRES_DEKAD, STRES_PENTAD, TSHIFT
-    from .grids import grid_for_length, raw_dates_for_length
-
+    _check_tier(tier)
     if begin_julian > end_julian:
         raise ValueError(f"begin {begin_julian} after end {end_julian}")
-    ax = axis or {}
-    stres = {"dekad": STRES_DEKAD, "pentad": STRES_PENTAD}.get(tier)
     decoded = read_tier_compact(spark, tier_dir, tier)
     # the length probe reads the COMPACT parquet (n_tok is a stored
     # column), never the decoded view — probing through the decode UDF
     # would pay a full decode pass for one metadata answer
     lengths = table_lengths(spark, tier_dir)
-    dim_rows = []
-    for n in lengths:
-        if stres is not None:
-            dates = grid_for_length(
-                int(n), stres, int(ax.get("rtres", RTRES)),
-                int(ax.get("tshift", TSHIFT)), ax.get("epoch", EPOCH_JULIAN),
-                ax.get("tempint_start")).target_dates
-        else:
-            dates = tuple(raw_dates_for_length(
-                int(n), ax.get("epoch", EPOCH_JULIAN),
-                int(ax.get("rtres", RTRES))))
-        dim_rows.extend(
-            (int(n), d, i + 1) for i, d in enumerate(dates)
-            if begin_julian <= d <= end_julian)
-    dim = spark.createDataFrame(dim_rows or [(None, None, None)],
-                                "n_tok int, date string, _pos int") \
-        .filter(F.col("n_tok").isNotNull())
+    decoded = _assert_known_lengths(spark, decoded, lengths)
+    dim = _range_dim(spark, lengths, tier, begin_julian, end_julian, axis)
     value = _clip_value(F.try_element_at(tier, F.col("_pos")),
                         clip_valid, nodata)
     return (
@@ -657,6 +717,45 @@ def export_compact_range(spark: SparkSession, tier_dir: str, tier: str,
         .select("doc_id", "source", "date",
                 value.cast("int").alias("value"))
     )
+
+
+def _binary_payload(batch, dod_col: str, plain_alternative: str):
+    """(data uint8[], byte-offsets int64[]) of one Arrow binary column —
+    the zero-copy unpack every compact-tier reader feeds the batched C
+    bit reader with (ONE shared implementation; a buffer-layout fix
+    cannot reach one reader and miss another).  A NULL payload means the
+    table was written with compress=False: a caller error, raised with
+    the plain-path alternative named."""
+    names = batch.schema.names
+    ba = batch.column(names.index(dod_col))
+    if ba.null_count:
+        raise ValueError(
+            f"null {dod_col} payload: the tier table was written with "
+            f"compress=False — {plain_alternative} instead")
+    bufs = ba.buffers()
+    raw_off = np.frombuffer(bufs[1], dtype=np.int32)
+    boffs = raw_off[ba.offset:ba.offset + len(ba) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, boffs
+
+
+def _emit_value_batch(batch, vals, valid, clip_valid, nodata):
+    """Shared (doc_id, source, value) output batch of the positional
+    compact exports: P3 valid-range clip (nodata passes through
+    unclipped), NULL where the position is past the stored array."""
+    import pyarrow as pa
+
+    if clip_valid is not None:
+        keep = valid & (vals != int(nodata))
+        vals = np.where(
+            keep, np.clip(vals, int(clip_valid[0]), int(clip_valid[1])),
+            vals)
+    arr = pa.array(vals.astype(np.int32), mask=~valid)
+    names = batch.schema.names
+    return pa.RecordBatch.from_arrays(
+        [batch.column(names.index("doc_id")),
+         batch.column(names.index("source")), arr],
+        names=["doc_id", "source", "value"])
 
 
 def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
@@ -677,6 +776,7 @@ def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
     answer."""
     from .compression import decode_dod_values_at
 
+    _check_tier(tier)
     dod_col = f"{tier}_dod"
     src = spark.read.parquet(tier_dir)
     lengths = table_lengths(spark, tier_dir, src)
@@ -684,23 +784,12 @@ def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
     pos_map = {int(n): (0 if p is None else int(p)) for n, p in pos.items()}
 
     def _slice(batches):
-        import pyarrow as pa
-
         for batch in batches:
             if not batch.num_rows:
                 continue
+            data, boffs = _binary_payload(
+                batch, dod_col, "use export_tier_date on the plain tier")
             names = batch.schema.names
-            ba = batch.column(names.index(dod_col))
-            if ba.null_count:
-                raise ValueError(
-                    f"null {dod_col} payload: the tier table was "
-                    "written with compress=False — use "
-                    "export_tier_date on the plain tier instead")
-            bufs = ba.buffers()
-            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
-            boffs = raw_off[ba.offset:ba.offset + len(ba) + 1] \
-                .astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
             ntok = batch.column(names.index("n_tok")) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             ks = np.zeros(ntok.size, dtype=np.int64)
@@ -713,17 +802,7 @@ def export_compact_date(spark: SparkSession, tier_dir: str, tier: str,
                     pos_map[n] = p
                 ks[ntok == n] = p
             vals, valid = decode_dod_values_at(data, boffs, ks)
-            if clip_valid is not None:
-                keep = valid & (vals != int(nodata))
-                vals = np.where(
-                    keep,
-                    np.clip(vals, int(clip_valid[0]), int(clip_valid[1])),
-                    vals)
-            arr = pa.array(vals.astype(np.int32), mask=~valid)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(names.index("doc_id")),
-                 batch.column(names.index("source")), arr],
-                names=["doc_id", "source", "value"])
+            yield _emit_value_batch(batch, vals, valid, clip_valid, nodata)
 
     return (src.select("doc_id", "source", "n_tok", dod_col)
             .mapInArrow(_slice, "doc_id string, source string, value int"))
@@ -742,40 +821,18 @@ def export_compact_slice(spark: SparkSession, tier_dir: str, tier: str,
     compress=False) is a caller error and raises with a clear message."""
     from .compression import decode_dod_value_at
 
+    _check_tier(tier)
     dod_col = f"{tier}_dod"
     pos = int(position)
 
     def _slice(batches):
-        import pyarrow as pa
-
         for batch in batches:
             if not batch.num_rows:
                 continue
-            names = batch.schema.names
-            ba = batch.column(names.index(dod_col))
-            if ba.null_count:
-                raise ValueError(
-                    f"null {dod_col} payload: the tier table was "
-                    "written with compress=False — use "
-                    "export_tier_slice on the plain tier instead"
-                )
-            bufs = ba.buffers()
-            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
-            boffs = raw_off[ba.offset:ba.offset + len(ba) + 1] \
-                .astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            data, boffs = _binary_payload(
+                batch, dod_col, "use export_tier_slice on the plain tier")
             vals, valid = decode_dod_value_at(data, boffs, pos)
-            if clip_valid is not None:
-                keep = valid & (vals != int(nodata))
-                vals = np.where(
-                    keep,
-                    np.clip(vals, int(clip_valid[0]), int(clip_valid[1])),
-                    vals)
-            arr = pa.array(vals.astype(np.int32), mask=~valid)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(names.index("doc_id")),
-                 batch.column(names.index("source")), arr],
-                names=["doc_id", "source", "value"])
+            yield _emit_value_batch(batch, vals, valid, clip_valid, nodata)
 
     src = spark.read.parquet(tier_dir)
     if row_filter is not None:
@@ -802,10 +859,7 @@ def write_tier_tables(
         df, obs = _observe_lengths(
             spark.read.parquet(combined_dir).select(*cols[tier], "bucket"))
         df.write.mode("overwrite").partitionBy("bucket").parquet(path)
-        try:
-            _merge_meta_file(path, obs.get["lengths"])
-        except Exception:
-            pass
+        _merge_meta_or_invalidate(path, obs)
         out[tier] = path
     return out
 
@@ -820,6 +874,7 @@ def read_tier_compact(spark: SparkSession, tier_dir: str, tier: str) -> DataFram
     shuffle-free."""
     from .compression import decode_dod_rows
 
+    _check_tier(tier)
     dod_col = f"{tier}_dod"
     src = spark.read.parquet(tier_dir)
     keep = [c for c in src.columns if c != dod_col]
@@ -835,16 +890,8 @@ def read_tier_compact(spark: SparkSession, tier_dir: str, tier: str) -> DataFram
             if not batch.num_rows:
                 continue
             names = batch.schema.names
-            ba = batch.column(names.index(dod_col))
-            if ba.null_count:
-                raise ValueError(
-                    f"null {dod_col} payload: the tier table was written "
-                    "with compress=False — read the plain tier instead")
-            bufs = ba.buffers()
-            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
-            boffs = raw_off[ba.offset:ba.offset + len(ba) + 1] \
-                .astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            data, boffs = _binary_payload(
+                batch, dod_col, "read the plain tier")
             vals, ooffs = decode_dod_rows(data, boffs)
             arr = pa.ListArray.from_arrays(
                 pa.array(ooffs.astype(np.int32)),

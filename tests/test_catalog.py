@@ -97,3 +97,46 @@ def test_merge_executes_on_iceberg_when_available(spark, tmp_path):
         [("d2", 20), ("d3", 3)], "doc_id string, v int"))
     got = {r["doc_id"]: r["v"] for r in cat.read("t").collect()}
     assert got == {"d1": 1, "d2": 20, "d3": 3}
+
+
+def test_catalog_writes_maintain_lengths_sidecar(spark, tmp_path):
+    """create/append/upsert on tier-shaped tables (n_tok column) keep the
+    lengths sidecar a SUPERSET of the data — the invariant the export
+    guard (tiers._assert_known_lengths) turns into a loud failure when
+    broken.  An appended/upserted length that bypassed the sidecar was
+    exactly the silent-row-drop path."""
+    import json
+    import os
+
+    from modape_spark.catalog import TableCatalog
+    from modape_spark.tiers import table_lengths
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"), n_buckets=2)
+    meta = os.path.join(cat.path("t"), "_modape_meta.json")
+
+    def sidecar():
+        with open(meta) as f:
+            return json.load(f)["lengths"]
+
+    cat.create("t", spark.createDataFrame(
+        [("d1", 8, 1)], "doc_id string, n_tok int, v int"))
+    assert sidecar() == [8]
+    cat.append("t", spark.createDataFrame(
+        [("d2", 12, 2)], "doc_id string, n_tok int, v int"))
+    assert sidecar() == [8, 12]
+    # upsert with a NEW length: merged in, old lengths retained
+    cat.upsert("t", spark.createDataFrame(
+        [("d2", 16, 20)], "doc_id string, n_tok int, v int"))
+    assert set(sidecar()) >= {8, 12, 16}
+    # sidecar serves table_lengths without a job and matches reality
+    assert set(table_lengths(spark, cat.path("t"))) >= {
+        r[0] for r in cat.read("t").select("n_tok").distinct().collect()}
+    # create REPLACES the table: stale lengths must not survive
+    cat.create("t", spark.createDataFrame(
+        [("d9", 24, 9)], "doc_id string, n_tok int, v int"))
+    assert sidecar() == [24]
+    # a non-tier table (no n_tok) deletes rather than strands a sidecar
+    cat.create("u", spark.createDataFrame(
+        [("x", 1)], "doc_id string, b int"))
+    assert not os.path.exists(os.path.join(cat.path("u"),
+                                           "_modape_meta.json"))

@@ -476,3 +476,66 @@ def test_lengths_meta_sidecar(spark, tmp_path):
     got = {r["doc_id"]: r["value"] for r in
            export_tier_date(spark, out, "dekad", "2002186").collect()}
     assert len(got) == 120
+
+
+def test_stale_sidecar_fails_loud(spark, tmp_path):
+    """A sidecar MISSING a length the data contains must raise at export
+    time, never silently drop that length's rows: the (n_tok, date, pos)
+    dim joins inner, so without the guard a stale sidecar would make
+    whole lengths vanish from range exports with no error anywhere."""
+    import json
+    import os
+
+    from modape_spark.tiers import (export_compact_range, export_tier_date,
+                                    export_tier_range, write_tier_tables)
+
+    out = str(tmp_path / "stale")
+    materialize_rollup(sequences_df(spark, 80, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0,
+                                    tempint=(10,)),
+                       n_buckets=4)
+    meta = os.path.join(out, "_modape_meta.json")
+    real = sorted(r[0] for r in spark.read.parquet(out)
+                  .select("n_tok").distinct().collect())
+    assert len(real) > 1
+    # plant a sidecar that lacks one REAL length
+    with open(meta, "w") as f:
+        json.dump({"lengths": real[:-1]}, f)
+    with pytest.raises(Exception, match="lengths sidecar"):
+        export_tier_range(spark, out, "dekad", "2002185", "2002365").collect()
+    with pytest.raises(Exception, match="lengths sidecar"):
+        export_tier_date(spark, out, "dekad", "2002186").collect()
+    compact = write_tier_tables(spark, out, str(tmp_path / "stale_t"),
+                                tiers=("dekad",), compact=True)["dekad"]
+    cmeta = os.path.join(compact, "_modape_meta.json")
+    with open(cmeta, "w") as f:
+        json.dump({"lengths": real[:-1]}, f)
+    with pytest.raises(Exception, match="lengths sidecar"):
+        export_compact_range(spark, compact, "dekad",
+                             "2002185", "2002365").collect()
+    # restored sidecar: exports run clean again
+    with open(meta, "w") as f:
+        json.dump({"lengths": real}, f)
+    assert export_tier_date(spark, out, "dekad", "2002186").count() == 80
+
+
+def test_export_invalid_tier_raises_at_call_time(spark, tmp_path):
+    """An unknown tier is a caller error and must raise ValueError BEFORE
+    any Spark job runs (not a PythonException from inside an executor,
+    and never a silent alias to the smoothed column)."""
+    from modape_spark.tiers import (export_compact_date,
+                                    export_compact_range,
+                                    export_compact_slice, export_tier_date,
+                                    export_tier_range, read_tier_compact)
+
+    d = str(tmp_path / "nonexistent")
+    for fn, args in [
+        (export_tier_date, (spark, d, "weekly", "2002186")),
+        (export_tier_range, (spark, d, "weekly", "2002185", "2002365")),
+        (export_compact_date, (spark, d, "weekly", "2002186")),
+        (export_compact_range, (spark, d, "weekly", "2002185", "2002365")),
+        (export_compact_slice, (spark, d, "weekly", 1)),
+        (read_tier_compact, (spark, d, "weekly")),
+    ]:
+        with pytest.raises(ValueError, match="weekly"):
+            fn(*args)
