@@ -1072,6 +1072,86 @@ def q_retention_compact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_kernel_fixedpoint_retention(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The retention storage lifecycle under the closed-form fixed-point
+    oracle: trim the gapped linear ramps to exactly the forward window
+    (keep_tail == nsmooth == 16), run the windowed forward rollup
+    (nupdate=4) over the TRIMMED rows, write the COMPACT dekad tier, and
+    read it back through the C bit reader — the emitted columns come
+    from the DECODED arrays, so trim -> (physical tail, logical length)
+    windowed kernel -> DoD encode -> parquet -> C decode must compose to
+    the line's last four dekad samples ``a + c*(doy - 9)`` exactly.
+    retention_compact_lifecycle keeps the full-noise configuration under
+    self-verifying counters; THIS entry puts the same composition under
+    a REAL DuckDB value-hash oracle (fixed-point family, see
+    q_kernel_fixedpoint for the invariance argument; reference
+    semantics: the nupdate tail write of smooth.py:322-333 over a
+    retention-trimmed store)."""
+    import tempfile
+
+    from .retention import retention_trim
+    from .tiers import materialize_rollup, read_tier_compact, write_tier_tables
+
+    _release_caches()
+    cfg = SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD,),
+                       nsmooth=16, nupdate=4, epoch="2003001")
+    tmp = tempfile.mkdtemp(prefix="modape_fxret_")
+    _TMP_DIRS.append(tmp)
+    comb = f"{tmp}/comb"
+    materialize_rollup(
+        retention_trim(_fixedpoint_input(spark, sf_dir), 16),
+        comb, cfg, n_buckets=8)
+    compact = write_tier_tables(spark, comb, f"{tmp}/tiers",
+                                tiers=("dekad",), compact=True)["dekad"]
+    back = read_tier_compact(spark, compact, "dekad")
+    return back.select(
+        F.expr("cast(substring(doc_id, 3) as bigint)").alias("doc_id"),
+        "n_tok", "covered",
+        F.size("dekad").alias("d_points"),
+        F.element_at("dekad", 1).alias("d_first"),
+        F.element_at("dekad", -1).alias("d_last"),
+        _checksum("dekad").alias("d_sum"),
+    ).orderBy("doc_id")
+
+
+def _kernel_fixedpoint_retention_oracle() -> str:
+    """Closed form of the trimmed windowed run's compact dekad tier: the
+    last 4 target doys of each length's dekad grid (day 5/15/25, capped
+    at 8n+1 — same calendar recomputation the green forward oracle
+    uses), valued on the line ``a + c*(doy - 9)``."""
+    return """
+        with per as (
+            select doc_id as doc_num,
+                   case when doc_id % 2 = 0 then 24 else 40 end as n,
+                   1000 + (doc_id % 7) * 16 as a,
+                   doc_id % 5 as c
+            from documents
+        ),
+        dk as (
+            select dayofyear(make_date(2003, m.m, d.d)) as doy
+            from (select unnest(generate_series(1, 12)) as m) m,
+                 (select unnest([5, 15, 25]) as d) d
+        ),
+        tail4 as (
+            select p.doc_num, k.doy,
+                   row_number() over (partition by p.doc_num
+                                      order by k.doy desc) as rn
+            from per p join dk k on k.doy <= 8 * p.n + 1
+        )
+        select p.doc_num as doc_id,
+               cast(p.n as int) as n_tok,
+               true as covered,
+               cast(count(*) as int) as d_points,
+               cast(p.a + p.c * (min(t.doy) - 9) as int) as d_first,
+               cast(p.a + p.c * (max(t.doy) - 9) as int) as d_last,
+               cast(sum(p.a + p.c * (t.doy - 9)) as bigint) as d_sum
+        from per p join tail4 t on t.doc_num = p.doc_num and t.rn <= 4
+        group by p.doc_num, p.n, p.a, p.c
+        order by doc_id
+    """
+
+
 def q_source_rollup_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric rollup keyed by the Zipf-skewed ``source`` column (one key
     holds ~50% of rows, fixtures.py) through the explicit two-phase salted
@@ -1140,6 +1220,7 @@ QUERIES = {
     "tier_optvp_contract": q_optvp_contract,
     "source_rollup_skewed": q_source_rollup_skewed,
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
+    "kernel_fixedpoint_retention": q_kernel_fixedpoint_retention,
 }
 
 # the kernel-numeric entries are non-SQL-expressible (sequential banded
@@ -1157,6 +1238,7 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_sgrid": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_forward": _kernel_fixedpoint_forward_oracle(),
     "kernel_fixedpoint_compact": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_retention": _kernel_fixedpoint_retention_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
