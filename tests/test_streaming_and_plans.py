@@ -162,3 +162,29 @@ def test_bucketed_sig_store_join_has_no_exchange(spark):
     # exactly the two post-join exchanges (pair agg + final orderBy) remain
     join_part = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_part
+
+
+def test_export_guard_plan_shape(spark, tmp_path):
+    """The round-5 known-lengths guard must cost zero extra scans and
+    zero shuffles of the big side: the range-export plan is ONE parquet
+    scan + two BroadcastHashJoins whose only Exchanges are the tiny-dim
+    broadcasts (BENCH/PLANS.md round-5 hardening note, pinned here)."""
+    from modape_spark.rollup import SmoothConfig
+    from modape_spark.sources.sequences import sequences_df
+    from modape_spark.tiers import export_tier_range, materialize_rollup
+
+    out = str(tmp_path / "gplan")
+    materialize_rollup(sequences_df(spark, 120, partitions=2), out,
+                       SmoothConfig(soptimize=False, svalue=1.0,
+                                    tempint=(10,)),
+                       n_buckets=4)
+    df = export_tier_range(spark, out, "dekad", "2002185", "2002365")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    # every Exchange is a broadcast of a tiny dim; no shuffle Exchange
+    import re
+    exchanges = re.findall(r"(\w*Exchange\w*)", plan)
+    assert exchanges and all("Broadcast" in e for e in exchanges), exchanges
+    # the guard itself is present and rides the scan side
+    assert "raise_error" in plan and "lengths sidecar" in plan
