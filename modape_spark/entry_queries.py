@@ -1115,6 +1115,48 @@ def q_kernel_fixedpoint_retention(spark: SparkSession,
     ).orderBy("doc_id")
 
 
+def q_kernel_fixedpoint_resume(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Checkpointed-resume (ST4 / lineage.py) under the closed-form
+    fixed-point oracle: materialize the ramps with per-bucket lineage,
+    DESTROY three bucket partitions and their lineage rows (the
+    crash-between-commits state), re-run — resume_plan must prune to
+    exactly the damaged buckets (asserted; a full rerun or a partial
+    skip both raise), and the final table's values go under the SAME
+    DuckDB closed-form oracle as tier_kernel_fixedpoint.  A resume that
+    recomputes the wrong rows, splices stale partitions, or loses docs
+    now hash-mismatches driver-visibly (lineage_resume keeps the
+    counters-only contract on the generic fixture)."""
+    import shutil
+    import tempfile
+
+    from .lineage import run_with_checkpoints
+
+    _release_caches()
+    raw = _track_cache(_fixedpoint_input(spark, sf_dir))
+    raw.count()
+    cfg = SmoothConfig(soptimize=True, p=0.90,
+                       tempint=(STRES_DEKAD, STRES_PENTAD), epoch="2003001")
+    tmp = tempfile.mkdtemp(prefix="modape_fxresume_")
+    _TMP_DIRS.append(tmp)
+    out, lin, lin2 = f"{tmp}/t", f"{tmp}/lin", f"{tmp}/lin2"
+    m1 = run_with_checkpoints(spark, raw, out, lin, cfg,
+                              n_buckets=8, n_groups=2)
+    if m1["processed_buckets"] != 8:
+        raise AssertionError(f"first run must process all buckets: {m1}")
+    lost = (0, 1, 2)
+    spark.read.parquet(lin).filter(~F.col("bucket").isin(*lost)) \
+        .write.mode("overwrite").parquet(lin2)
+    for b in lost:
+        shutil.rmtree(f"{out}/bucket={b}", ignore_errors=True)
+    m2 = run_with_checkpoints(spark, raw, out, lin2, cfg,
+                              n_buckets=8, n_groups=2)
+    if (m2["processed_buckets"], m2["skipped_buckets"]) != (len(lost), 5):
+        raise AssertionError(
+            f"resume did not prune to the damaged buckets: {m2}")
+    return _fixedpoint_emit(spark.read.parquet(out))
+
+
 def _kernel_fixedpoint_retention_oracle() -> str:
     """Closed form of the trimmed windowed run's compact dekad tier: the
     last 4 target doys of each length's dekad grid (day 5/15/25, capped
@@ -1221,6 +1263,7 @@ QUERIES = {
     "source_rollup_skewed": q_source_rollup_skewed,
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
     "kernel_fixedpoint_retention": q_kernel_fixedpoint_retention,
+    "kernel_fixedpoint_resume": q_kernel_fixedpoint_resume,
 }
 
 # the kernel-numeric entries are non-SQL-expressible (sequential banded
@@ -1239,6 +1282,10 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_forward": _kernel_fixedpoint_forward_oracle(),
     "kernel_fixedpoint_compact": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_retention": _kernel_fixedpoint_retention_oracle(),
+    # destroy-and-resume reproduces the SAME closed form — the oracle is
+    # shared with tier_kernel_fixedpoint; the entry itself asserts the
+    # resume pruned to exactly the damaged buckets
+    "kernel_fixedpoint_resume": _kernel_fixedpoint_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
