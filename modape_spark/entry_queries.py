@@ -760,15 +760,11 @@ def q_kernel_fixedpoint_sgrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fixedpoint_emit(rollup_dataframe(raw.join(state, "doc_id"), cfg_f))
 
 
-def _kernel_fixedpoint_oracle() -> str:
-    """Closed form of q_kernel_fixedpoint: per doc the line parameters
-    (n, a, c) are modular functions of doc_id; smoothed position i carries
-    a + 8c*i; a dekad/pentad target at day-of-year ``doy`` carries
-    a + c*(doy - 1 - tshift) with tshift=8 (the daily grid starts at
-    2003001, so daily index = doy - 1); target grids run through
-    stop = last_raw + rtres = day 8n+1 (single calendar year by
-    construction, so no year cap is needed)."""
-    return """
+# Shared CTE prefix of EVERY fixed-point oracle: the fixture's modular
+# line parameters (must mirror _fixedpoint_input exactly) and the dekad
+# calendar grid.  ONE definition — the three oracle bodies interpolate
+# it, so a fixture change cannot silently desynchronize one of them.
+_FX_ORACLE_CTES = """
         with per as (
             select doc_id as doc_num,
                    case when doc_id % 2 = 0 then 24 else 40 end as n,
@@ -780,7 +776,18 @@ def _kernel_fixedpoint_oracle() -> str:
             select dayofyear(make_date(2003, m.m, d.d)) as doy
             from (select unnest(generate_series(1, 12)) as m) m,
                  (select unnest([5, 15, 25]) as d) d
-        ),
+        ),"""
+
+
+def _kernel_fixedpoint_oracle() -> str:
+    """Closed form of q_kernel_fixedpoint: per doc the line parameters
+    (n, a, c) are modular functions of doc_id; smoothed position i carries
+    a + 8c*i; a dekad/pentad target at day-of-year ``doy`` carries
+    a + c*(doy - 1 - tshift) with tshift=8 (the daily grid starts at
+    2003001, so daily index = doy - 1); target grids run through
+    stop = last_raw + rtres = day 8n+1 (single calendar year by
+    construction, so no year cap is needed)."""
+    return _FX_ORACLE_CTES + """
         pt as (
             select dayofyear(make_date(2003, m.m, d.d)) as doy
             from (select unnest(generate_series(1, 12)) as m) m,
@@ -912,19 +919,7 @@ def _kernel_fixedpoint_forward_oracle() -> str:
     """Closed form of the windowed forward run: the smoothed window is
     positions n-16..n-1 of the line (sum over i = 16n - 136), the single
     nupdate dekad point is the last target date of the length's grid."""
-    return """
-        with per as (
-            select doc_id as doc_num,
-                   case when doc_id % 2 = 0 then 24 else 40 end as n,
-                   1000 + (doc_id % 7) * 16 as a,
-                   doc_id % 5 as c
-            from documents
-        ),
-        dk as (
-            select dayofyear(make_date(2003, m.m, d.d)) as doy
-            from (select unnest(generate_series(1, 12)) as m) m,
-                 (select unnest([5, 15, 25]) as d) d
-        ),
+    return _FX_ORACLE_CTES + """
         dka as (
             select p.doc_num, max(k.doy) as mx
             from per p join dk k on k.doy <= 8 * p.n + 1
@@ -1162,19 +1157,7 @@ def _kernel_fixedpoint_retention_oracle() -> str:
     last 4 target doys of each length's dekad grid (day 5/15/25, capped
     at 8n+1 — same calendar recomputation the green forward oracle
     uses), valued on the line ``a + c*(doy - 9)``."""
-    return """
-        with per as (
-            select doc_id as doc_num,
-                   case when doc_id % 2 = 0 then 24 else 40 end as n,
-                   1000 + (doc_id % 7) * 16 as a,
-                   doc_id % 5 as c
-            from documents
-        ),
-        dk as (
-            select dayofyear(make_date(2003, m.m, d.d)) as doy
-            from (select unnest(generate_series(1, 12)) as m) m,
-                 (select unnest([5, 15, 25]) as d) d
-        ),
+    return _FX_ORACLE_CTES + """
         tail4 as (
             select p.doc_num, k.doy,
                    row_number() over (partition by p.doc_num
