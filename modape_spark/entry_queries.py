@@ -1152,6 +1152,69 @@ def q_kernel_fixedpoint_resume(spark: SparkSession,
     return _fixedpoint_emit(spark.read.parquet(out))
 
 
+def q_kernel_fixedpoint_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV source/sink surface (S11, csv_smooth.py:76-146 semantics)
+    under the closed-form fixed-point oracle: the even-doc ramps (one
+    length — CSV is rectangular) written as one-series-per-column CSV,
+    smoothed through the REAL local smooth_csv path (weights from
+    nodata, ws2d, Sopt/logSopt rows appended, CSV round-trip), read
+    back and value-checked against the line.  This path is inherently
+    single-node (the reference's debug/QA tool) — the driver-side
+    pandas work here is the surface itself, not a scale path."""
+    import tempfile
+
+    from .operators.common import table as _table
+    from .sources.csv_series import smooth_csv
+
+    nums = [int(r[0]) for r in
+            _table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("long")).collect()
+            if int(r[0]) % 2 == 0]
+    nums.sort()
+    n = 24
+    cols = {}
+    for d in nums:
+        a, c = 1000 + (d % 7) * 16, d % 5
+        cols[f"d{d}"] = [
+            -3000 if (d * 7 + j * 3) % 5 == 0 else a + 8 * c * j
+            for j in range(n)]
+    tmp = tempfile.mkdtemp(prefix="modape_fxcsv_")
+    _TMP_DIRS.append(tmp)
+    pd.DataFrame(cols).to_csv(f"{tmp}/in.csv", index=False)
+    out = smooth_csv(f"{tmp}/in.csv", f"{tmp}/out.csv",
+                     svalue=1.0, nodata=-3000)
+    # first n rows are the smoothed series; the two appended label rows
+    # carry Sopt/logSopt (csv_smooth.py:119-126 contract)
+    z = out.iloc[:n]
+    sopt = out.iloc[n:]
+    rows = []
+    for d in nums:
+        zi = np.rint(z[f"d{d}"].to_numpy(dtype=np.float64)).astype(np.int64)
+        s = sopt[f"d{d}"].to_numpy(dtype=np.float64)
+        rows.append((d, int(zi[0]), int(zi[-1]), int(zi.sum()),
+                     bool(abs(s[0] - 10.0) < 1e-9
+                          and abs(s[1] - 1.0) < 1e-9)))
+    return spark.createDataFrame(
+        rows, "doc_id long, s_first int, s_last int, s_sum bigint, "
+              "sopt_ok boolean").orderBy("doc_id")
+
+
+def _kernel_fixedpoint_csv_oracle() -> str:
+    """Closed form of the CSV path's even-doc ramps: n=24, the line at
+    positions 0 and 23 and its sum (24a + 8c*276); sopt_ok pins the
+    appended Sopt/logSopt rows to 10^svalue."""
+    return _FX_ORACLE_CTES + """
+        sel as (select * from per where doc_num % 2 = 0)
+        select doc_num as doc_id,
+               cast(a as int) as s_first,
+               cast(a + 8 * c * 23 as int) as s_last,
+               cast(24 * a + 8 * c * 276 as bigint) as s_sum,
+               true as sopt_ok
+        from sel
+        order by doc_id
+    """
+
+
 def _kernel_fixedpoint_retention_oracle() -> str:
     """Closed form of the trimmed windowed run's compact dekad tier: the
     last 4 target doys of each length's dekad grid (day 5/15/25, capped
@@ -1247,6 +1310,7 @@ QUERIES = {
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
     "kernel_fixedpoint_retention": q_kernel_fixedpoint_retention,
     "kernel_fixedpoint_resume": q_kernel_fixedpoint_resume,
+    "kernel_fixedpoint_csv": q_kernel_fixedpoint_csv,
 }
 
 # the kernel-numeric entries are non-SQL-expressible (sequential banded
@@ -1269,6 +1333,7 @@ ORACLES: dict[str, str] = {
     # shared with tier_kernel_fixedpoint; the entry itself asserts the
     # resume pruned to exactly the damaged buckets
     "kernel_fixedpoint_resume": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_csv": _kernel_fixedpoint_csv_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
