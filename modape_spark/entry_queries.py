@@ -1215,6 +1215,81 @@ def _kernel_fixedpoint_csv_oracle() -> str:
     """
 
 
+def q_streaming_fixedpoint_ledger(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The Structured Streaming stateful ledger (W4/ST4,
+    streaming/stateful.py) made DRIVER-VISIBLE: the streaming machinery
+    itself is not SQL-expressible, but its FINAL state over a
+    deterministic landing set is — so run the REAL readStream ->
+    applyInPandasWithState -> foreachBatch exactly-once sink pipeline
+    (Trigger.AvailableNow) over closed-form batch rows keyed to
+    documents.doc_id, take each source's final ledger row, and let
+    DuckDB recompute the totals.  State carry-over, the update-mode
+    emit, and the idempotent batch_id sink all sit inside the value
+    hash (wrong state merge, lost batch, or duplicated replay all
+    mismatch).  Reference anchor: the last_collected ledger semantics
+    of smooth.py:522-546."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .operators.common import table as _table
+    from .streaming.stateful import run_available_now, source_watermark_ledger
+
+    _release_caches()
+    tmp = tempfile.mkdtemp(prefix="modape_fxstream_")
+    _TMP_DIRS.append(tmp)
+    docs = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_num"))
+    base = docs.select(
+        F.concat(F.lit("fx"), F.col("doc_num").cast("string"))
+        .alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("doc_num") % 3).cast("string"))
+        .alias("source"),
+        F.expr("cast(case when doc_num % 2 = 0 then 24 else 40 end as int)")
+        .alias("n"))
+    # two batches per doc: [0, n-8) then [n-8, n) — final ledger totals
+    # are batching-independent, which is what makes them closed-form
+    b1 = base.select(
+        "doc_id", "source", F.lit(0).cast("int").alias("start_offset"),
+        (F.col("n") - 8).cast("int").alias("n_points"),
+        F.lit(1).cast("long").alias("proc_ts"))
+    b2 = base.select(
+        "doc_id", "source", (F.col("n") - 8).cast("int")
+        .alias("start_offset"),
+        F.lit(8).cast("int").alias("n_points"),
+        F.lit(2).cast("long").alias("proc_ts"))
+    b1.unionByName(b2).write.mode("overwrite") \
+        .parquet(f"{tmp}/landing")
+    ledger = source_watermark_ledger(spark, f"{tmp}/landing")
+    run_available_now(ledger, f"{tmp}/sink", f"{tmp}/ckpt",
+                      output_mode="update")
+    sunk = spark.read.option("basePath", f"{tmp}/sink") \
+        .parquet(f"{tmp}/sink")
+    w = Window.partitionBy("source").orderBy(F.col("batch_id").desc())
+    return (sunk.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("source", "max_position", "n_batches", "n_points")
+            .orderBy("source"))
+
+
+def _streaming_fixedpoint_ledger_oracle() -> str:
+    """Closed form of each source class's final ledger: 2 batches and n
+    points per doc, max stored position = the class's longest series."""
+    return _FX_ORACLE_CTES + """
+        sel as (
+            select doc_num % 3 as sclass, n from per
+        )
+        select 's' || cast(sclass as varchar) as source,
+               cast(max(n) as int) as max_position,
+               cast(2 * count(*) as bigint) as n_batches,
+               cast(sum(n) as bigint) as n_points
+        from sel
+        group by sclass
+        order by source
+    """
+
+
 def _kernel_fixedpoint_retention_oracle() -> str:
     """Closed form of the trimmed windowed run's compact dekad tier: the
     last 4 target doys of each length's dekad grid (day 5/15/25, capped
@@ -1311,6 +1386,7 @@ QUERIES = {
     "kernel_fixedpoint_retention": q_kernel_fixedpoint_retention,
     "kernel_fixedpoint_resume": q_kernel_fixedpoint_resume,
     "kernel_fixedpoint_csv": q_kernel_fixedpoint_csv,
+    "streaming_fixedpoint_ledger": q_streaming_fixedpoint_ledger,
 }
 
 # the kernel-numeric entries are non-SQL-expressible (sequential banded
@@ -1334,6 +1410,7 @@ ORACLES: dict[str, str] = {
     # resume pruned to exactly the damaged buckets
     "kernel_fixedpoint_resume": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_csv": _kernel_fixedpoint_csv_oracle(),
+    "streaming_fixedpoint_ledger": _streaming_fixedpoint_ledger_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
