@@ -1290,6 +1290,65 @@ def _streaming_fixedpoint_ledger_oracle() -> str:
     """
 
 
+def q_streaming_fixedpoint_dedup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The streaming ingest dedup gate (streaming_exact_dedup:
+    dropDuplicatesWithinWatermark, the built-in dedup state store —
+    DIFFERENT machinery than the applyInPandasWithState ledger) under a
+    closed-form oracle: every doc is delivered TWICE (the at-least-once
+    upstream retry), the real streaming pipeline drains through an
+    append parquet sink, and the landed set must be exactly one row per
+    doc — per-source counts DuckDB value-hash-gated.  A dedup state
+    bug (lost state between micro-batches, hash collision handling,
+    premature eviction inside the watermark) double-lands or drops docs
+    and mismatches."""
+    import tempfile
+
+    from .operators.common import table as _table
+    from .streaming.stateful import run_available_now, streaming_exact_dedup
+
+    _release_caches()
+    tmp = tempfile.mkdtemp(prefix="modape_fxsdedup_")
+    _TMP_DIRS.append(tmp)
+    docs = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_num"))
+    base = docs.select(
+        F.concat(F.lit("fx"), F.col("doc_num").cast("string"))
+        .alias("doc_id"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        F.concat(F.lit("s"), (F.col("doc_num") % 3).cast("string"))
+        .alias("source"),
+        F.concat(F.lit("body-"), F.col("doc_num").cast("string"))
+        .alias("text"))
+    # duplicate delivery: the same rows twice (crawler retry shape)
+    base.unionByName(base).write.mode("overwrite") \
+        .parquet(f"{tmp}/landing")
+    deduped = streaming_exact_dedup(spark, f"{tmp}/landing")
+    run_available_now(deduped, f"{tmp}/sink", f"{tmp}/ckpt",
+                      output_mode="append")
+    landed = spark.read.parquet(f"{tmp}/sink")
+    return (landed.groupBy("source")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy("source"))
+
+
+def _streaming_fixedpoint_dedup_oracle() -> str:
+    """Closed form of the dedup gate's landed set: exactly one row per
+    doc regardless of the duplicate delivery."""
+    return _FX_ORACLE_CTES + """
+        sel as (
+            select doc_num % 3 as sclass from per
+        )
+        select 's' || cast(sclass as varchar) as source,
+               cast(count(*) as bigint) as n_rows,
+               cast(count(*) as bigint) as n_docs
+        from sel
+        group by sclass
+        order by source
+    """
+
+
 def _kernel_fixedpoint_retention_oracle() -> str:
     """Closed form of the trimmed windowed run's compact dekad tier: the
     last 4 target doys of each length's dekad grid (day 5/15/25, capped
@@ -1387,6 +1446,7 @@ QUERIES = {
     "kernel_fixedpoint_resume": q_kernel_fixedpoint_resume,
     "kernel_fixedpoint_csv": q_kernel_fixedpoint_csv,
     "streaming_fixedpoint_ledger": q_streaming_fixedpoint_ledger,
+    "streaming_fixedpoint_dedup": q_streaming_fixedpoint_dedup,
 }
 
 # the kernel-numeric entries are non-SQL-expressible (sequential banded
@@ -1411,6 +1471,7 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_resume": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_csv": _kernel_fixedpoint_csv_oracle(),
     "streaming_fixedpoint_ledger": _streaming_fixedpoint_ledger_oracle(),
+    "streaming_fixedpoint_dedup": _streaming_fixedpoint_dedup_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
