@@ -1349,6 +1349,83 @@ def _streaming_fixedpoint_dedup_oracle() -> str:
     """
 
 
+def q_streaming_fixedpoint_windows(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The watermarked tumbling-window aggregation (windowed_event_counts
+    — append-mode window finalization, the THIRD streaming state shape
+    after the ledger and the dedup gate) under a closed-form oracle:
+    deterministic events (hour = doc_num %% 24, type = doc_num %% 3,
+    value = doc_num %% 7) drain through the real readStream watermark
+    pipeline; two far-future sentinel events across two drains advance
+    the watermark past every real window (the test harness pattern,
+    tests/test_structured_streaming.py), so the appended sink holds
+    exactly the finalized 6-hour windows — counts and sums
+    DuckDB-gated.  Session timezone is UTC (session.py), so windows are
+    epoch-aligned and the hour offset from the base is closed-form."""
+    import tempfile
+
+    from .operators.common import table as _table
+    from .streaming.stateful import run_available_now, windowed_event_counts
+
+    _release_caches()
+    tmp = tempfile.mkdtemp(prefix="modape_fxswin_")
+    _TMP_DIRS.append(tmp)
+    docs = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_num"))
+    base_ts = "timestamp'2026-01-01 00:00:00'"
+    events = docs.select(
+        F.col("doc_num").alias("event_id"),
+        F.expr(f"timestampadd(HOUR, cast(doc_num % 24 as int), {base_ts})")
+        .alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.concat(F.lit("e"), (F.col("doc_num") % 3).cast("string"))
+        .alias("event_type"),
+        (F.col("doc_num") % 7).cast("double").alias("value"))
+
+    def sentinel(h):
+        return spark.createDataFrame(
+            [(10 ** 9 + h,)], "event_id long").select(
+            "event_id",
+            F.expr(f"timestampadd(HOUR, {h}, {base_ts})").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("sent").alias("event_type"),
+            F.lit(0.0).alias("value"))
+
+    landing, sink, ckpt = f"{tmp}/landing", f"{tmp}/sink", f"{tmp}/ckpt"
+    events.unionByName(sentinel(1000)).write.mode("append").parquet(landing)
+    run_available_now(windowed_event_counts(spark, landing), sink, ckpt)
+    sentinel(2000).write.mode("append").parquet(landing)
+    run_available_now(windowed_event_counts(spark, landing), sink, ckpt)
+    out = spark.read.parquet(sink).filter(F.col("event_type") != "sent")
+    return out.select(
+        ((F.unix_timestamp("window_start")
+          - F.unix_timestamp(F.expr(base_ts))) / 3600).cast("int")
+        .alias("win_h"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("win_h", "event_type")
+
+
+def _streaming_fixedpoint_windows_oracle() -> str:
+    """Closed form of the finalized 6-hour windows: group the modular
+    (hour, type, value) assignments by 6h bucket and type."""
+    return _FX_ORACLE_CTES + """
+        sel as (
+            select doc_num % 24 as h, doc_num % 3 as ec,
+                   doc_num % 7 as v
+            from per
+        )
+        select cast(6 * (h // 6) as int) as win_h,
+               'e' || cast(ec as varchar) as event_type,
+               cast(count(*) as bigint) as n,
+               cast(sum(v) as double) as sum_value
+        from sel
+        group by 1, 2
+        order by win_h, event_type
+    """
+
+
 def _kernel_fixedpoint_retention_oracle() -> str:
     """Closed form of the trimmed windowed run's compact dekad tier: the
     last 4 target doys of each length's dekad grid (day 5/15/25, capped
@@ -1447,6 +1524,7 @@ QUERIES = {
     "kernel_fixedpoint_csv": q_kernel_fixedpoint_csv,
     "streaming_fixedpoint_ledger": q_streaming_fixedpoint_ledger,
     "streaming_fixedpoint_dedup": q_streaming_fixedpoint_dedup,
+    "streaming_fixedpoint_windows": q_streaming_fixedpoint_windows,
 }
 
 # the kernel-numeric entries are non-SQL-expressible (sequential banded
@@ -1472,6 +1550,7 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_csv": _kernel_fixedpoint_csv_oracle(),
     "streaming_fixedpoint_ledger": _streaming_fixedpoint_ledger_oracle(),
     "streaming_fixedpoint_dedup": _streaming_fixedpoint_dedup_oracle(),
+    "streaming_fixedpoint_windows": _streaming_fixedpoint_windows_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
 }
