@@ -1166,34 +1166,35 @@ def q_kernel_fixedpoint_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.common import table as _table
     from .sources.csv_series import smooth_csv
 
-    nums = [int(r[0]) for r in
-            _table(spark, sf_dir, "documents")
-            .select(F.col("doc_id").cast("long")).collect()
-            if int(r[0]) % 2 == 0]
-    nums.sort()
-    n = 24
-    cols = {}
-    for d in nums:
-        a, c = 1000 + (d % 7) * 16, d % 5
-        cols[f"d{d}"] = [
-            -3000 if (d * 7 + j * 3) % 5 == 0 else a + 8 * c * j
-            for j in range(n)]
+    _release_caches()
+    # the ONE fixture definition (_fixedpoint_input) supplies the token
+    # arrays — no third hand-rolled copy of the line parameters; the
+    # even-doc (n=24) filter runs Spark-side before the collect
+    rows_in = (_fixedpoint_input(spark, sf_dir)
+               .filter(F.col("n_tok") == 24)
+               .select("doc_id", "tokens").collect())
+    pairs = sorted((int(r["doc_id"][2:]), list(r["tokens"]))
+                   for r in rows_in)
     tmp = tempfile.mkdtemp(prefix="modape_fxcsv_")
     _TMP_DIRS.append(tmp)
-    pd.DataFrame(cols).to_csv(f"{tmp}/in.csv", index=False)
-    out = smooth_csv(f"{tmp}/in.csv", f"{tmp}/out.csv",
-                     svalue=1.0, nodata=-3000)
-    # first n rows are the smoothed series; the two appended label rows
-    # carry Sopt/logSopt (csv_smooth.py:119-126 contract)
-    z = out.iloc[:n]
-    sopt = out.iloc[n:]
+    pd.DataFrame({f"d{d}": toks for d, toks in pairs}) \
+        .to_csv(f"{tmp}/in.csv", index=False)
+    smooth_csv(f"{tmp}/in.csv", f"{tmp}/out.csv", svalue=1.0, nodata=-3000)
+    # re-read the WRITTEN file (true sink round trip — a to_csv
+    # formatting or row-ordering bug must fail the oracle, not just the
+    # in-memory return value); label rows selected by _label, not
+    # position (csv_smooth.py:119-126 contract)
+    out = pd.read_csv(f"{tmp}/out.csv")
+    z = out[out["_label"].isna()]
+    s_row = out[out["_label"] == "Sopt"]
+    ls_row = out[out["_label"] == "logSopt"]
     rows = []
-    for d in nums:
+    for d, _ in pairs:
         zi = np.rint(z[f"d{d}"].to_numpy(dtype=np.float64)).astype(np.int64)
-        s = sopt[f"d{d}"].to_numpy(dtype=np.float64)
         rows.append((d, int(zi[0]), int(zi[-1]), int(zi.sum()),
-                     bool(abs(s[0] - 10.0) < 1e-9
-                          and abs(s[1] - 1.0) < 1e-9)))
+                     bool(len(s_row) == 1 and len(ls_row) == 1
+                          and abs(float(s_row[f"d{d}"].iloc[0]) - 10.0) < 1e-9
+                          and abs(float(ls_row[f"d{d}"].iloc[0]) - 1.0) < 1e-9)))
     return spark.createDataFrame(
         rows, "doc_id long, s_first int, s_last int, s_sum bigint, "
               "sopt_ok boolean").orderBy("doc_id")
@@ -1298,10 +1299,10 @@ def q_streaming_fixedpoint_dedup(spark: SparkSession,
     closed-form oracle: every doc is delivered TWICE (the at-least-once
     upstream retry), the real streaming pipeline drains through an
     append parquet sink, and the landed set must be exactly one row per
-    doc — per-source counts DuckDB value-hash-gated.  A dedup state
-    bug (lost state between micro-batches, hash collision handling,
-    premature eviction inside the watermark) double-lands or drops docs
-    and mismatches."""
+    doc — per-source counts DuckDB value-hash-gated.  Gates lost state
+    and basic re-delivery dropping; the EVICTION timing of the bounded
+    state store needs event-time spread across drains and stays
+    test-gated (tests/test_structured_streaming.py)."""
     import tempfile
 
     from .operators.common import table as _table
