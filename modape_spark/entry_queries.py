@@ -874,6 +874,38 @@ def q_kernel_fixedpoint_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fixedpoint_emit(sm.join(dk, "doc_id").join(pt, "doc_id"))
 
 
+def q_kernel_fixedpoint_compact_store(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The compact-STORE kernel pass under the closed-form oracle: the
+    rollup itself emits only dod payloads (tiers.COMPACT_ROLLUP_SCHEMA —
+    plain arrays never cross the Arrow boundary), the combined table is
+    already the long-retention layout, and the tier split is a pure
+    column prune.  Distinct from kernel_fixedpoint_compact, which
+    materializes FULL and prunes after: here the compact emit path in
+    process_rollup_arrow and its half-size write are what's gated.
+    Same oracle as tier_kernel_fixedpoint."""
+    import tempfile
+
+    from .tiers import materialize_rollup, read_tier_compact, write_tier_tables
+
+    _release_caches()
+    cfg = SmoothConfig(soptimize=True, p=0.90,
+                       tempint=(STRES_DEKAD, STRES_PENTAD), epoch="2003001")
+    tmp = tempfile.mkdtemp(prefix="modape_fxcstore_")
+    _TMP_DIRS.append(tmp)
+    comb = f"{tmp}/comb"
+    materialize_rollup(_fixedpoint_input(spark, sf_dir), comb, cfg,
+                       n_buckets=8, store="compact")
+    tiers = write_tier_tables(spark, comb, f"{tmp}/tiers", compact=True)
+    sm = read_tier_compact(spark, tiers["smoothed"], "smoothed").select(
+        "doc_id", "n_tok", "covered", "smoothed")
+    dk = read_tier_compact(spark, tiers["dekad"], "dekad").select(
+        "doc_id", "dekad")
+    pt = read_tier_compact(spark, tiers["pentad"], "pentad").select(
+        "doc_id", "pentad")
+    return _fixedpoint_emit(sm.join(dk, "doc_id").join(pt, "doc_id"))
+
+
 def q_kernel_fixedpoint_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2/ST3 incremental forward path under the fixed-point oracle:
     split the last 2 ramp tokens off as an append batch, run the REAL
@@ -1517,6 +1549,7 @@ QUERIES = {
     "kernel_fixedpoint_sgrid": q_kernel_fixedpoint_sgrid,
     "kernel_fixedpoint_forward": q_kernel_fixedpoint_forward,
     "kernel_fixedpoint_compact": q_kernel_fixedpoint_compact,
+    "kernel_fixedpoint_compact_store": q_kernel_fixedpoint_compact_store,
     "tier_optvp_contract": q_optvp_contract,
     "source_rollup_skewed": q_source_rollup_skewed,
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
@@ -1543,6 +1576,7 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_sgrid": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_forward": _kernel_fixedpoint_forward_oracle(),
     "kernel_fixedpoint_compact": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_compact_store": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_retention": _kernel_fixedpoint_retention_oracle(),
     # destroy-and-resume reproduces the SAME closed form — the oracle is
     # shared with tier_kernel_fixedpoint; the entry itself asserts the

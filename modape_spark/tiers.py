@@ -66,6 +66,19 @@ COMPACT_TIER_COLUMNS = {
     "pentad": ["doc_id", "source", "n_tok", "covered", "pentad_dod", "pentad_total"],
 }
 
+# store="compact" rollup: the kernel pass EMITS only the delta-of-delta
+# payloads — the plain integer arrays never cross the Arrow boundary and
+# never hit the write path.  At 10^12 rows this roughly halves the two
+# fixed per-job costs the width-32 scaling decomposition pinned
+# (BENCH/BASELINE.md: Arrow out-feed + parquet encode/commit), and the
+# combined table is directly in the long-retention layout
+# (write_tier_tables(compact=True) is then a pure column prune).
+COMPACT_ROLLUP_SCHEMA = (
+    "doc_id string, source string, n_tok int, covered boolean, "
+    "sopt_log10 float, smoothed_dod binary, dekad_dod binary, "
+    "pentad_dod binary, dekad_total int, pentad_total int"
+)
+
 
 def _rollup_core(lens: np.ndarray, flat: np.ndarray, starts: np.ndarray,
                  sgrid: np.ndarray | None, cfg: SmoothConfig,
@@ -225,10 +238,15 @@ def process_rollup_pdf(pdf: pd.DataFrame, cfg: SmoothConfig, compress: bool) -> 
     )
 
 
-def process_rollup_arrow(batch, cfg: SmoothConfig, compress: bool):
+def process_rollup_arrow(batch, cfg: SmoothConfig, compress: bool,
+                         store: str = "full"):
     """Arrow-native kernel body: list columns in and out as contiguous
     (values, offsets) buffers — no pandas conversion, no per-row numpy
-    object allocation on either side of the Python boundary."""
+    object allocation on either side of the Python boundary.
+
+    ``store="compact"`` emits only the dod payloads (COMPACT_ROLLUP_SCHEMA):
+    the plain ListArrays are never built, so their bytes never enter the
+    outbound Arrow stream."""
     import pyarrow as pa
 
     R = batch.num_rows
@@ -269,6 +287,25 @@ def process_rollup_arrow(batch, cfg: SmoothConfig, compress: bool):
             return pa.nulls(R, pa.binary())
         return pa.array(b.tolist(), type=pa.binary())
 
+    if store == "compact":
+        return pa.RecordBatch.from_arrays(
+            [
+                batch.column(names.index("doc_id")),
+                batch.column(names.index("source")),
+                pa.array(np.asarray(logical).astype(np.int32)),
+                pa.array(core["covered"]),
+                pa.array(core["sopt"]),
+                _bin_arr(core["s_dod"]),
+                _bin_arr(core["d_dod"]),
+                _bin_arr(core["p_dod"]),
+                pa.array(core["dekad_total"]),
+                pa.array(core["pentad_total"]),
+            ],
+            names=["doc_id", "source", "n_tok", "covered", "sopt_log10",
+                   "smoothed_dod", "dekad_dod", "pentad_dod",
+                   "dekad_total", "pentad_total"],
+        )
+
     return pa.RecordBatch.from_arrays(
         [
             batch.column(names.index("doc_id")),
@@ -291,11 +328,12 @@ def process_rollup_arrow(batch, cfg: SmoothConfig, compress: bool):
     )
 
 
-def rollup_udf(cfg: SmoothConfig, compress: bool = True):
+def rollup_udf(cfg: SmoothConfig, compress: bool = True,
+               store: str = "full"):
     def fn(batches) -> "Iterator":
         for batch in batches:
             if batch.num_rows:
-                yield process_rollup_arrow(batch, cfg, compress)
+                yield process_rollup_arrow(batch, cfg, compress, store)
     return fn
 
 
@@ -308,13 +346,25 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def rollup_dataframe(
-    raw_df: DataFrame, cfg: SmoothConfig | None = None, compress: bool = True
+    raw_df: DataFrame, cfg: SmoothConfig | None = None, compress: bool = True,
+    store: str = "full",
 ) -> DataFrame:
-    """Lazily attach the rollup computation to a raw sequences DataFrame."""
+    """Lazily attach the rollup computation to a raw sequences DataFrame.
+
+    ``store="compact"`` (requires ``compress``) emits the dod-payload-only
+    layout — the 10^12-row deployment shape, where plain arrays exist
+    transiently in the kernel and only compressed bytes leave Python."""
+    if store not in ("full", "compact"):
+        raise ValueError(f"store must be 'full' or 'compact', got {store!r}")
+    if store == "compact" and not compress:
+        raise ValueError("store='compact' stores ONLY the compressed "
+                         "payload; it requires compress=True")
     cfg = cfg or SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD, STRES_PENTAD))
     cols = [c for c in ("doc_id", "tokens", "n_tok", "source", "sopt_log10")
             if c in raw_df.columns]
-    return raw_df.select(*cols).mapInArrow(rollup_udf(cfg, compress), ROLLUP_SCHEMA)
+    schema = COMPACT_ROLLUP_SCHEMA if store == "compact" else ROLLUP_SCHEMA
+    return raw_df.select(*cols).mapInArrow(
+        rollup_udf(cfg, compress, store), schema)
 
 
 def materialize_rollup(
@@ -327,6 +377,7 @@ def materialize_rollup(
     bucket_filter: list[int] | None = None,
     pre_bucketed: bool = False,
     codec: str = "snappy",
+    store: str = "full",
 ) -> None:
     """Kernel pass + columnar write, partitioned by bucket for pruned reads.
 
@@ -355,7 +406,13 @@ def materialize_rollup(
     co-partitioned; measured eff gain in BENCH/BASELINE.md).  With
     unbucketed input, a single repartition co-locates each bucket before
     the write (one file per bucket instead of tasks x buckets tiny files;
-    a 2048-file commit was 3x the kernel time at SF=0.1)."""
+    a 2048-file commit was 3x the kernel time at SF=0.1).
+
+    ``store="compact"`` materializes the dod-payload-only combined layout
+    (COMPACT_ROLLUP_SCHEMA): plain arrays never leave the kernel workers,
+    roughly halving the outbound Arrow feed and the written bytes — the
+    long-retention deployment shape; read back via read_tier_compact /
+    export_compact_* (exact round trip)."""
     if bucket_filter is not None:
         wanted = [int(b) for b in bucket_filter]
         if "bucket" in raw_df.columns:
@@ -367,7 +424,7 @@ def materialize_rollup(
             raw_df = with_bucket(raw_df, n_buckets).filter(
                 F.col("bucket").isin(wanted)
             ).drop("bucket")
-    rolled = rollup_dataframe(raw_df, cfg, compress)
+    rolled = rollup_dataframe(raw_df, cfg, compress, store=store)
     # bucket recomputed post-UDF (same deterministic hash) in both modes
     rolled = with_bucket(rolled, n_buckets)
     if not pre_bucketed:
@@ -853,6 +910,11 @@ def write_tier_tables(
     (COMPACT_TIER_COLUMNS): the long-retention layout — exact values
     reconstructable via read_tier_compact, at a fraction of the bytes."""
     cols = COMPACT_TIER_COLUMNS if compact else TIER_COLUMNS
+    combined_cols = set(spark.read.parquet(combined_dir).columns)
+    if not compact and "smoothed" not in combined_cols:
+        raise ValueError(
+            "combined table holds only dod payloads (materialized with "
+            "store='compact'); split it with compact=True")
     out = {}
     for tier in tiers:
         path = f"{base_dir}/{tier}"
