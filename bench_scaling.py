@@ -78,7 +78,7 @@ def raw_table(n_rows: int) -> str:
     return _RAW_CACHE[n_rows]
 
 
-def run_sample(cores: int, n_rows: int) -> float:
+def run_sample(cores: int, n_rows: int, store: str = "full") -> float:
     """One fresh-session wall-clock sample of the rollup materialization."""
     from modape_spark.entry_queries import CFG_ALL
     from modape_spark.session import get_spark
@@ -113,9 +113,9 @@ def run_sample(cores: int, n_rows: int) -> float:
             # scaling, not differing write plans.  pre_bucketed: the input
             # is the catalog's bucket layout -> zero-shuffle materialize.
             materialize_rollup(raw, f"{tmp}/out", CFG_ALL, n_buckets=32,
-                               pre_bucketed=True)
+                               pre_bucketed=True, store=store)
             dt = time.time() - t0
-        SAMPLES.append({"cores": cores, "seconds": round(dt, 3),
+        SAMPLES.append({"cores": cores, "seconds": round(dt, 3), "store": store,
                         "steal_pct": sm.steal_pct, "busy_pct": sm.busy_pct})
         return dt
     finally:
@@ -124,7 +124,7 @@ def run_sample(cores: int, n_rows: int) -> float:
 
 
 def run_once(cores_low: int, cores_high: int, n_rows: int,
-             samples: int = 2) -> tuple[float, float]:
+             samples: int = 2, store: str = "full") -> tuple[float, float]:
     """Interleaved best-of-N per level (high/low alternating).
 
     The sandbox host has noisy-neighbor DRAM/CPU contention (same-config
@@ -135,11 +135,11 @@ def run_once(cores_low: int, cores_high: int, n_rows: int,
     t_low = t_high = float("inf")
     for i in range(samples):
         if i % 2 == 0:
-            t_high = min(t_high, run_sample(cores_high, n_rows))
-            t_low = min(t_low, run_sample(cores_low, n_rows))
+            t_high = min(t_high, run_sample(cores_high, n_rows, store))
+            t_low = min(t_low, run_sample(cores_low, n_rows, store))
         else:
-            t_low = min(t_low, run_sample(cores_low, n_rows))
-            t_high = min(t_high, run_sample(cores_high, n_rows))
+            t_low = min(t_low, run_sample(cores_low, n_rows, store))
+            t_high = min(t_high, run_sample(cores_high, n_rows, store))
     return t_low, t_high
 
 
@@ -153,6 +153,11 @@ def main() -> None:
                     help="samples per parallelism level (interleaved)")
     ap.add_argument("--rows", type=int, default=None,
                     help="override row count (amortization studies)")
+    ap.add_argument("--store", choices=("full", "compact"), default="full",
+                    help="rollup output layout: 'compact' emits only dod "
+                         "payloads (halves the Arrow out-feed + written "
+                         "bytes — the fixed costs pinned by the width-32 "
+                         "decomposition)")
     args = ap.parse_args()
 
     from modape_spark.entry_queries import sf_of
@@ -162,13 +167,15 @@ def main() -> None:
     n_rows = args.rows or n_rows_for_sf(sf)
 
     with StealMeter() as sm:
-        t_low, t_high = run_once(args.low, args.high, n_rows, args.samples)
+        t_low, t_high = run_once(args.low, args.high, n_rows, args.samples,
+                                 args.store)
     thr_low = n_rows / t_low
     thr_high = n_rows / t_high
     factor = args.high / args.low
     eff = thr_high / (factor * thr_low)
     result = {
         "sf": sf,
+        "store": args.store,
         "n_sequences": n_rows,
         "cores_low": args.low,
         "cores_high": args.high,
