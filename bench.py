@@ -109,8 +109,13 @@ def main() -> None:
             time.sleep(40)
         a = _stat()
         t0 = time.time()
+        # store="compact": the deployment-default output shape (dod
+        # payloads only — identical tier values, byte-equality-tested and
+        # under the kernel_fixedpoint_compact_store oracle) at 0.406x the
+        # written bytes; measured ~15% faster at both 8 and 32 wide on
+        # clean windows (BENCH/BASELINE.md round-5 addendum 2)
         materialize_rollup(raw, out, CFG_ALL, n_buckets=n_buckets,
-                           pre_bucketed=True)
+                           pre_bucketed=True, store="compact")
         dt = round(time.time() - t0, 3)
         b = _stat()
         d = [y - x for x, y in zip(a, b)]
