@@ -1588,4 +1588,15 @@ ORACLES: dict[str, str] = {
     "streaming_fixedpoint_windows": _streaming_fixedpoint_windows_oracle(),
     "tier_optvp_contract": _optvp_contract_oracle(),
     "source_rollup_skewed": _source_rollup_oracle(),
+    # lineage_resume's counters are fully deterministic (fixed 2000-row
+    # input, 8 buckets, and the north-rule resume contract: a rerun on
+    # identical input must skip EVERY bucket), so the expected values are
+    # closed-form constants — the driver now hash-gates the resume
+    # semantics instead of recording rows-only
+    "lineage_resume": (
+        'select cast(8 as int) as first_run_buckets, '
+        'cast(0 as int) as rerun_processed, '
+        'cast(8 as int) as rerun_skipped, '
+        'cast(2000 as bigint) as "rows"'
+    ),
 }
