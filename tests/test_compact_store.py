@@ -72,3 +72,26 @@ def test_compact_invalid_combinations(spark, raw, tmp_path):
     materialize_rollup(raw.limit(8), comb, CFG, n_buckets=2, store="compact")
     with pytest.raises(ValueError, match="compact=True"):
         write_tier_tables(spark, comb, str(tmp_path / "t"), compact=False)
+
+
+def test_compact_rollup_plan_zero_exchange_and_pruned_output(spark, tmp_path):
+    """The compact kernel pass keeps the 10^12-row plan shape (scan ->
+    MapInArrow, zero Exchange) AND its Arrow out-feed schema carries only
+    the dod payloads — the plain list columns are absent from the plan's
+    output, so the halved out-feed is pinned at the plan level, not just
+    observed in bench samples (BENCH/BASELINE.md round-5 addendum 2)."""
+    from modape_spark.sources.sequences import sequences_df
+    from modape_spark.tiers import rollup_dataframe, with_bucket
+
+    raw_dir = str(tmp_path / "raw")
+    with_bucket(sequences_df(spark, 200), 4).write.mode("overwrite") \
+        .partitionBy("bucket").parquet(raw_dir)
+    raw = spark.read.parquet(raw_dir)
+
+    rolled = with_bucket(rollup_dataframe(raw, CFG, store="compact"), 4)
+    plan = rolled._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+    cols = set(rolled.columns)
+    assert {"smoothed_dod", "dekad_dod", "pentad_dod"} <= cols
+    assert not {"smoothed", "dekad", "pentad"} & cols
