@@ -7,6 +7,8 @@ modis_window, modis_info, csv_smooth) — a reference user's workflows map
     python -m modape_spark smooth  --raw /data/raw --out /data/tiers \
         [--svalue 1.0 | --soptimize] [--pvalue 0.9] [--tempint 10 5] \
         [--nsmooth 16 --nupdate 1] [--lineage /data/lineage]
+    python -m modape_spark update  --tiers /data/compact_tiers \
+        --tail /data/tail --nupdate 4
     python -m modape_spark window  --tiers /data/tiers --tier dekad \
         --position 5 --out /data/export
     python -m modape_spark info    --tiers /data/tiers
@@ -118,6 +120,36 @@ def cmd_smooth(args) -> int:
         materialize_rollup(raw, args.out, cfg, n_buckets=args.buckets)
         metrics = {"processed_buckets": args.buckets}
     print(json.dumps(metrics))
+    return 0
+
+
+def cmd_update(args) -> int:
+    """Splice a windowed forward-run tail (smooth --nsmooth/--nupdate
+    output) INTO stored COMPACT tier tables — the reference's in-place
+    nupdate write (io.py:189-202 xoffset) against the long-retention
+    layout.  The tail must be a full-store rollup (plain arrays): a
+    compact-store tail has no values to splice and is rejected."""
+    from .tiers import apply_tier_compact_update
+
+    spark = _spark(args)
+    tail = spark.read.parquet(args.tail)
+    for tier in args.select:
+        need = [tier] + ([f"{tier}_total"] if tier != "smoothed" else [])
+        missing = [c for c in need + ["doc_id", "n_tok"]
+                   if c not in tail.columns]
+        if missing:
+            print(f"update: tail table lacks {missing} for tier {tier}; "
+                  "materialize the tail with the default (full) store",
+                  file=sys.stderr)
+            return 2
+        try:
+            apply_tier_compact_update(
+                spark, f"{args.tiers}/{tier}", tier, tail, args.nupdate)
+        except ValueError as exc:
+            print(f"update: {exc}", file=sys.stderr)
+            return 2
+    print(json.dumps({"updated": list(args.select),
+                      "nupdate": args.nupdate}))
     return 0
 
 
@@ -369,6 +401,22 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--compact", action="store_true",
                    help="store only the dod payloads (long-retention layout)")
     t.set_defaults(fn=cmd_split)
+
+    u = sub.add_parser("update", help="splice a windowed forward-run tail "
+                       "into stored compact tier tables (in-place nupdate "
+                       "write against the long-retention layout)")
+    u.add_argument("--tiers", required=True,
+                   help="base dir of compact tier tables (split --compact "
+                        "output: one subdir per tier)")
+    u.add_argument("--tail", required=True,
+                   help="combined windowed rollup dir (smooth with "
+                        "--nsmooth/--nupdate, default full store)")
+    u.add_argument("--nupdate", type=int, required=True,
+                   help="trailing points to splice (must match the tail "
+                        "run's --nupdate)")
+    u.add_argument("--select", nargs="*",
+                   default=["smoothed", "dekad", "pentad"])
+    u.set_defaults(fn=cmd_update)
 
     r = sub.add_parser("retention", help="trim raw sequences to their "
                        "trailing window once history is tiered")

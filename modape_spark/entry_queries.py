@@ -199,13 +199,18 @@ def q_incremental_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """north_rule resumability, driver-visible: run a checkpointed
     materialization twice on identical input; the rerun must skip every
-    bucket via lineage fingerprints.  Returns one row of counters."""
+    bucket via lineage fingerprints.  Returns one row of counters.
+
+    The input is a FIXED 2000-row synthetic table at every scale factor:
+    the oracle pins the counters as closed-form constants, so the row
+    count must not vary with sf (at sf0.001 a min(n_rows_for_sf, 2000)
+    input would be 1000 rows and hash-mismatch)."""
     import shutil
     import tempfile
 
     from .lineage import run_with_checkpoints
 
-    raw = sequences_df(spark, min(n_rows_for_sf(sf_of(sf_dir)), 2000))
+    raw = sequences_df(spark, 2000)
     tmp = tempfile.mkdtemp(prefix="modape_resume_")
     try:
         m1 = run_with_checkpoints(spark, raw, f"{tmp}/t", f"{tmp}/lin",
@@ -906,6 +911,76 @@ def q_kernel_fixedpoint_compact_store(spark: SparkSession,
     return _fixedpoint_emit(sm.join(dk, "doc_id").join(pt, "doc_id"))
 
 
+def q_kernel_fixedpoint_compact_update(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """S7/ST3 INTO the compact store under the closed-form oracle — the
+    full storage lifecycle when dod-only tables are the deployment
+    layout: init rollup over the ramps minus their last 2 tokens ->
+    compact tier tables -> REAL append (validate + splice,
+    append_suffixes) -> windowed forward recompute (nsmooth=16,
+    nupdate=4) -> update_tier_compact splice (decode matched payloads,
+    pad to the grown grid, overwrite the trailing window, C re-encode)
+    -> directory swap + sidecar refresh (apply_tier_compact_update) ->
+    C decode readback.
+
+    nupdate=4 covers every target point a 2-token append can add to the
+    fixture axis (<= 2 dekads / <= 3 pentads inside one calendar year),
+    and the fixed point makes every re-spliced overlap position equal
+    the init run's value — so the MERGED store must equal the
+    uninterrupted full run closed-form exactly: same oracle as
+    tier_kernel_fixedpoint.  Any indexing error in the pad/splice
+    window, a stale n_tok/total, or a codec corruption breaks the hash.
+    (Reference semantics: io.py:189-202 xoffset write + smooth.py:322-333
+    grid resize, against the Gorilla-style store.)"""
+    import tempfile
+
+    from .tiers import (
+        apply_tier_compact_update,
+        materialize_rollup,
+        read_tier_compact,
+        write_tier_tables,
+    )
+
+    _release_caches()
+    raw = _track_cache(_fixedpoint_input(spark, sf_dir))
+    raw.count()
+    cfg = SmoothConfig(soptimize=True, p=0.90, tempint=_FX_TEMPINT,
+                       epoch="2003001")
+    init = (
+        raw.withColumn("tokens_full", F.col("tokens"))
+        .withColumn("tokens", F.expr("slice(tokens, 1, n_tok - 2)"))
+        .withColumn("n_tok", (F.col("n_tok") - 2).cast("int"))
+    )
+    init_raw = init.drop("tokens_full")
+    tmp = tempfile.mkdtemp(prefix="modape_fxcupd_")
+    _TMP_DIRS.append(tmp)
+    comb = f"{tmp}/comb"
+    materialize_rollup(init_raw, comb, cfg, n_buckets=8, store="compact")
+    tiers = write_tier_tables(spark, comb, f"{tmp}/tiers", compact=True)
+    batches = init.select(
+        "doc_id",
+        F.lit("fwd").alias("batch_id"),
+        F.lit(1).cast("long").alias("proc_ts"),
+        F.expr("slice(tokens_full, n_tok + 1, 2)").alias("tokens_suffix"),
+        F.col("n_tok").cast("int").alias("start_offset"),
+    )
+    updated = append_suffixes(init_raw, batches)
+    tail = _track_cache(incremental_rollup(
+        updated, nsmooth=16, nupdate=4,
+        cfg=SmoothConfig(soptimize=True, p=0.90, tempint=_FX_TEMPINT,
+                         epoch="2003001")))
+    tail.count()
+    for tier in ("smoothed", "dekad", "pentad"):
+        apply_tier_compact_update(spark, tiers[tier], tier, tail, 4)
+    sm = read_tier_compact(spark, tiers["smoothed"], "smoothed").select(
+        "doc_id", "n_tok", "covered", "smoothed")
+    dk = read_tier_compact(spark, tiers["dekad"], "dekad").select(
+        "doc_id", "dekad")
+    pt = read_tier_compact(spark, tiers["pentad"], "pentad").select(
+        "doc_id", "pentad")
+    return _fixedpoint_emit(sm.join(dk, "doc_id").join(pt, "doc_id"))
+
+
 def q_kernel_fixedpoint_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2/ST3 incremental forward path under the fixed-point oracle:
     split the last 2 ramp tokens off as an append batch, run the REAL
@@ -1550,6 +1625,7 @@ QUERIES = {
     "kernel_fixedpoint_forward": q_kernel_fixedpoint_forward,
     "kernel_fixedpoint_compact": q_kernel_fixedpoint_compact,
     "kernel_fixedpoint_compact_store": q_kernel_fixedpoint_compact_store,
+    "kernel_fixedpoint_compact_update": q_kernel_fixedpoint_compact_update,
     "tier_optvp_contract": q_optvp_contract,
     "source_rollup_skewed": q_source_rollup_skewed,
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
@@ -1577,6 +1653,7 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_forward": _kernel_fixedpoint_forward_oracle(),
     "kernel_fixedpoint_compact": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_compact_store": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_compact_update": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_retention": _kernel_fixedpoint_retention_oracle(),
     # destroy-and-resume reproduces the SAME closed form — the oracle is
     # shared with tier_kernel_fixedpoint; the entry itself asserts the

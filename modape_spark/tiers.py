@@ -776,15 +776,13 @@ def export_compact_range(spark: SparkSession, tier_dir: str, tier: str,
     )
 
 
-def _binary_payload(batch, dod_col: str, plain_alternative: str):
-    """(data uint8[], byte-offsets int64[]) of one Arrow binary column —
+def _payload_of_array(ba, dod_col: str, plain_alternative: str):
+    """(data uint8[], byte-offsets int64[]) of one Arrow BinaryArray —
     the zero-copy unpack every compact-tier reader feeds the batched C
     bit reader with (ONE shared implementation; a buffer-layout fix
     cannot reach one reader and miss another).  A NULL payload means the
     table was written with compress=False: a caller error, raised with
     the plain-path alternative named."""
-    names = batch.schema.names
-    ba = batch.column(names.index(dod_col))
     if ba.null_count:
         raise ValueError(
             f"null {dod_col} payload: the tier table was written with "
@@ -794,6 +792,13 @@ def _binary_payload(batch, dod_col: str, plain_alternative: str):
     boffs = raw_off[ba.offset:ba.offset + len(ba) + 1].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8)
     return data, boffs
+
+
+def _binary_payload(batch, dod_col: str, plain_alternative: str):
+    """Batch-level form of _payload_of_array (column looked up by name)."""
+    names = batch.schema.names
+    return _payload_of_array(
+        batch.column(names.index(dod_col)), dod_col, plain_alternative)
 
 
 def _emit_value_batch(batch, vals, valid, clip_valid, nodata):
@@ -962,3 +967,159 @@ def read_tier_compact(spark: SparkSession, tier_dir: str, tier: str) -> DataFram
             yield pa.RecordBatch.from_arrays(cols, names=keep + [tier])
 
     return src.mapInArrow(_decode, out_schema)
+
+
+def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
+                        tail: DataFrame, nupdate: int,
+                        nodata: int = NODATA_INT) -> DataFrame:
+    """S7/ST3 on the COMPACT store: splice the recomputed trailing
+    ``nupdate`` points INTO a dod-only tier table — the storage-lifecycle
+    composition the forward run needs when compact tables are the
+    deployment layout (reference semantics: io.py:189-202 xoffset write +
+    smooth.py:322-333 grid resize, here against the Gorilla-style store).
+
+    Exactly merge_tier_tail's splice, fused with the codec: ONE mapInArrow
+    stage decodes only the MATCHED rows' payloads (batched C bit reader),
+    pads the array to the tail's new target-grid total with nodata,
+    overwrites the last ``nupdate`` positions with the tail values, and
+    re-encodes per new-length group (batched C bit writer) — plain arrays
+    exist only transiently inside the worker, never cross the Arrow
+    boundary, and unmatched rows' payload bytes pass through untouched.
+    ``n_tok`` (the exports' grid key) and the per-tier total advance with
+    the tail, so date/range exports resolve the grown axis correctly.
+
+    The join shuffles both sides on doc_id (the tail of a forward run has
+    the store's cardinality); with an Iceberg catalog attached this whole
+    DataFrame feeds MERGE INTO (catalog.merge_upsert_sql), with parquet
+    tables apply_tier_compact_update() stages-and-swaps the directory.
+
+    ``tail`` must carry the PLAIN recomputed tail (incremental_rollup
+    default store): doc_id, the ``tier`` array (>= nupdate points), the
+    advanced n_tok, and dekad_total/pentad_total for the composite tiers.
+    """
+    import pyarrow as pa
+
+    from .compression import decode_dod_rows, encode_dod_rows
+
+    _check_tier(tier)
+    u = int(nupdate)
+    if u <= 0:
+        raise ValueError("nupdate must be >= 1")
+    dod_col = f"{tier}_dod"
+    total_col = f"{tier}_total" if tier != "smoothed" else None
+    src = spark.read.parquet(tier_dir)
+    if dod_col not in src.columns:
+        raise ValueError(f"{tier_dir} is not a compact {tier} tier table "
+                         f"(no {dod_col} column)")
+    keep = list(src.columns)
+    t = tail.select(
+        "doc_id",
+        F.col(tier).alias("_tail"),
+        F.col("n_tok").cast("int").alias("_ntok"),
+        (F.col(total_col) if total_col else F.col("n_tok"))
+        .cast("int").alias("_total"),
+    )
+    joined = src.join(t, "doc_id", "left")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+    nodata_i = int(nodata)
+
+    def _splice(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            names = batch.schema.names
+            base = [batch.column(names.index(c)) for c in keep]
+            tail_a = batch.column(names.index("_tail"))
+            valid = pa.compute.is_valid(tail_a).to_numpy(
+                zero_copy_only=False)
+            if not valid.any():
+                yield pa.RecordBatch.from_arrays(base, names=keep)
+                continue
+            idx = np.flatnonzero(valid)
+            take = pa.array(idx)
+            dod_a = batch.column(names.index(dod_col))
+            data, boffs = _payload_of_array(
+                dod_a.take(take), dod_col,
+                "use merge_tier_tail on the plain tier")
+            vals, ooffs = decode_dod_rows(data, boffs)
+            tails = tail_a.take(take).to_pylist()
+            totals = batch.column(names.index("_total")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)[idx]
+            # splice each matched row, grouped by NEW length so the C
+            # encoder gets same-length 2-D blocks
+            groups: dict[int, tuple[list[int], list[np.ndarray]]] = {}
+            for r, row in enumerate(idx):
+                n_old = int(ooffs[r + 1] - ooffs[r])
+                tl = np.asarray(tails[r], dtype=np.int64)
+                L = max(int(totals[r]), n_old)
+                if u > L or u > tl.size:
+                    raise ValueError(
+                        f"nupdate={u} exceeds array ({L}) or tail "
+                        f"({tl.size}) length for a row")
+                arr = np.full(L, nodata_i, dtype=np.int64)
+                arr[:n_old] = vals[ooffs[r]:ooffs[r + 1]]
+                arr[L - u:] = tl[tl.size - u:]
+                groups.setdefault(L, ([], []))
+                groups[L][0].append(int(row))
+                groups[L][1].append(arr)
+            payloads: dict[int, bytes] = {}
+            for L, (rows, arrs) in groups.items():
+                for row, buf in zip(rows, encode_dod_rows(np.stack(arrs))):
+                    payloads[row] = buf
+            old_payloads = dod_a.to_pylist()
+            new_dod = pa.array(
+                [payloads.get(r, old_payloads[r])
+                 for r in range(batch.num_rows)],
+                type=dod_a.type)
+            cols = []
+            ntok_new = batch.column(names.index("_ntok")) \
+                .to_numpy(zero_copy_only=False)
+            tot_new = batch.column(names.index("_total")) \
+                .to_numpy(zero_copy_only=False)
+            for c, col in zip(keep, base):
+                if c == dod_col:
+                    cols.append(new_dod)
+                elif c == "n_tok" or (total_col and c == total_col):
+                    upd = ntok_new if c == "n_tok" else tot_new
+                    old = col.to_numpy(zero_copy_only=False)
+                    cols.append(pa.array(
+                        np.where(valid, upd, old).astype(np.int32)))
+                else:
+                    cols.append(col)
+            yield pa.RecordBatch.from_arrays(cols, names=keep)
+
+    return joined.mapInArrow(_splice, out_schema)
+
+
+def apply_tier_compact_update(spark: SparkSession, tier_dir: str, tier: str,
+                              tail: DataFrame, nupdate: int,
+                              nodata: int = NODATA_INT) -> None:
+    """Write-back form of update_tier_compact for parquet-directory
+    tables: stage the merged table next to ``tier_dir``, then swap the
+    directories (read and write can't share a live parquet path) and
+    refresh the lengths sidecar from the write job's own observation.
+    With an Iceberg catalog the update DataFrame feeds MERGE INTO
+    instead (catalog.upsert) and no swap is needed."""
+    import glob
+    import os
+    import shutil
+
+    merged = update_tier_compact(spark, tier_dir, tier, tail, nupdate,
+                                 nodata)
+    merged, obs = _observe_lengths(merged)
+    n_buckets = max(
+        1, len(glob.glob(os.path.join(tier_dir, "bucket=*"))))
+    stage = tier_dir.rstrip("/") + ".staging"
+    shutil.rmtree(stage, ignore_errors=True)
+    merged.repartition(n_buckets, F.col("bucket")) \
+        .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    old = tier_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(tier_dir, old)
+    os.rename(stage, tier_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    # the sidecar reflects the POST-update lengths: start fresh (the old
+    # sidecar described the pre-update axis), then merge the observation
+    _invalidate_meta(tier_dir)
+    _merge_meta_or_invalidate(tier_dir, obs)

@@ -284,3 +284,46 @@ def test_cli_usage_errors_and_compact_smoothed_range(tmp_path):
     assert main(["smooth", "--raw", raw, "--out", t_fix,
                  "--sgrid", sg_part, "--tempint", "10",
                  "--buckets", "4"]) == 2
+
+
+def test_cli_update_compact_tiers(tmp_path):
+    """collect -> smooth -> split --compact -> windowed smooth (tail) ->
+    update: the in-place nupdate write against the long-retention layout,
+    end-to-end through the argparse surface.  The updated compact table
+    must decode to exactly the plain-path merge_tier_tail result, and a
+    compact-store tail (no plain arrays to splice) must exit 2."""
+    from modape_spark.cli import main
+    from modape_spark.incremental import merge_tier_tail
+    from modape_spark.session import get_spark
+    from modape_spark.tiers import read_tier_compact
+
+    raw, comb = str(tmp_path / "raw"), str(tmp_path / "comb")
+    split, tail = str(tmp_path / "split"), str(tmp_path / "tail")
+    assert main(["collect", "--n-rows", "40", "--out", raw]) == 0
+    assert main(["smooth", "--raw", raw, "--out", comb,
+                 "--svalue", "1.0", "--tempint", "10", "--buckets", "4"]) == 0
+    assert main(["split", "--tiers", comb, "--out", split,
+                 "--select", "dekad", "--compact"]) == 0
+    assert main(["smooth", "--raw", raw, "--out", tail,
+                 "--svalue", "1.0", "--tempint", "10", "--buckets", "4",
+                 "--nsmooth", "16", "--nupdate", "2"]) == 0
+    assert main(["update", "--tiers", split, "--tail", tail,
+                 "--nupdate", "2", "--select", "dekad"]) == 0
+
+    spark = get_spark(app_name="cli-update-check", cores=4)
+    got = {r["doc_id"]: list(r["dekad"])
+           for r in read_tier_compact(spark, f"{split}/dekad",
+                                      "dekad").collect()}
+    want_df = merge_tier_tail(
+        spark.read.parquet(comb).select("doc_id", "dekad"),
+        spark.read.parquet(tail).select("doc_id", "dekad", "dekad_total"),
+        "dekad", nupdate=2, total_col="dekad_total")
+    want = {r["doc_id"]: list(r["dekad"]) for r in want_df.collect()}
+    assert got == want and len(got) == 40
+
+    # a compact-store tail has no plain arrays to splice: usage error
+    ctail = str(tmp_path / "ctail_split")
+    assert main(["split", "--tiers", comb, "--out", ctail,
+                 "--select", "dekad", "--compact"]) == 0
+    assert main(["update", "--tiers", split, "--tail", f"{ctail}/dekad",
+                 "--nupdate", "2", "--select", "dekad"]) == 2
