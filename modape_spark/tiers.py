@@ -1067,10 +1067,17 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
             for L, (rows, arrs) in groups.items():
                 for row, buf in zip(rows, encode_dod_rows(np.stack(arrs))):
                     payloads[row] = buf
-            old_payloads = dod_a.to_pylist()
+            # unmatched rows keep their stored bytes: materialize ONLY
+            # those (a forward run usually matches every row, making
+            # this a no-op rather than a full-batch python conversion)
+            unmatched = np.flatnonzero(~valid)
+            if unmatched.size:
+                for row, buf in zip(
+                        unmatched,
+                        dod_a.take(pa.array(unmatched)).to_pylist()):
+                    payloads[int(row)] = buf
             new_dod = pa.array(
-                [payloads.get(r, old_payloads[r])
-                 for r in range(batch.num_rows)],
+                [payloads[r] for r in range(batch.num_rows)],
                 type=dod_a.type)
             cols = []
             ntok_new = batch.column(names.index("_ntok")) \

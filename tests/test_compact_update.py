@@ -153,3 +153,31 @@ def test_plain_table_raises(spark, state, tmp_path):
                               NUPDATE)
     with pytest.raises(Exception, match="compress=False"):
         out.collect()
+
+
+def test_splice_plan_shape(spark, state, tmp_path):
+    """The compact splice is ONE mapInArrow stage directly above the
+    doc_id join: the only Exchanges in the plan are the two join-key
+    hash partitionings (store side + tail side) — no shuffle above the
+    join, no extra scan of either side.  Broadcast is disabled so the
+    SortMergeJoin shape itself is what's pinned (at deployment scale the
+    tail has the store's cardinality and would never broadcast)."""
+    tail_dir = str(tmp_path / "tail_store")
+    state["tail"].write.parquet(tail_dir)   # deployment shape: stored tail
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = update_tier_compact(
+            spark, state["tiers"]["dekad"], "dekad",
+            spark.read.parquet(tail_dir), NUPDATE)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "MapInArrow" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 2
+    assert plan.count("Exchange") == 2          # nothing else shuffles
+    # the splice sits ABOVE the join — no exchange between map and join
+    assert "Exchange" not in plan[
+        plan.index("MapInArrow"):plan.index("SortMergeJoin")]
+    assert plan.count("FileScan parquet") == 2  # each side scanned once
