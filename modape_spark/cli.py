@@ -125,9 +125,11 @@ def cmd_smooth(args) -> int:
 
 def cmd_update(args) -> int:
     """Splice a windowed forward-run tail (smooth --nsmooth/--nupdate
-    output) INTO stored COMPACT tier tables — the reference's in-place
-    nupdate write (io.py:189-202 xoffset) against the long-retention
-    layout.  The tail must be a full-store rollup (plain arrays): a
+    output) INTO stored tier tables — the reference's in-place nupdate
+    write (io.py:189-202 xoffset).  Works on compact (dod-only) AND
+    plain tier tables; on a plain layout both the value arrays and the
+    payloads are spliced so the two representations never diverge.  The
+    tail itself must be a full-store rollup (plain arrays): a
     compact-store tail has no values to splice and is rejected."""
     from .tiers import apply_tier_compact_update
 
@@ -403,11 +405,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_split)
 
     u = sub.add_parser("update", help="splice a windowed forward-run tail "
-                       "into stored compact tier tables (in-place nupdate "
-                       "write against the long-retention layout)")
+                       "into stored tier tables (in-place nupdate write; "
+                       "compact or plain layout)")
     u.add_argument("--tiers", required=True,
-                   help="base dir of compact tier tables (split --compact "
-                        "output: one subdir per tier)")
+                   help="base dir of tier tables (split output, compact "
+                        "or plain: one subdir per tier)")
     u.add_argument("--tail", required=True,
                    help="combined windowed rollup dir (smooth with "
                         "--nsmooth/--nupdate, default full store)")

@@ -988,6 +988,12 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
     ``n_tok`` (the exports' grid key) and the per-tier total advance with
     the tail, so date/range exports resolve the grown axis correctly.
 
+    A PLAIN tier table (TIER_COLUMNS layout) carries the value array
+    ALONGSIDE the payload: when the ``tier`` column is present it is
+    spliced too (from the same in-worker arrays, zero extra decode), so
+    the two representations can never diverge — updating only the
+    payload would leave plain-path exports reading stale values.
+
     The join shuffles both sides on doc_id (the tail of a forward run has
     the store's cardinality); with an Iceberg catalog attached this whole
     DataFrame feeds MERGE INTO (catalog.merge_upsert_sql), with parquet
@@ -1012,6 +1018,7 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
         raise ValueError(f"{tier_dir} is not a compact {tier} tier table "
                          f"(no {dod_col} column)")
     keep = list(src.columns)
+    has_plain = tier in keep
     t = tail.select(
         "doc_id",
         F.col(tier).alias("_tail"),
@@ -1064,9 +1071,12 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
                 groups[L][0].append(int(row))
                 groups[L][1].append(arr)
             payloads: dict[int, bytes] = {}
+            spliced_rows: dict[int, np.ndarray] = {}
             for L, (rows, arrs) in groups.items():
-                for row, buf in zip(rows, encode_dod_rows(np.stack(arrs))):
+                for row, buf, arr in zip(rows, encode_dod_rows(
+                        np.stack(arrs)), arrs):
                     payloads[row] = buf
+                    spliced_rows[row] = arr
             # unmatched rows keep their stored bytes: materialize ONLY
             # those (a forward run usually matches every row, making
             # this a no-op rather than a full-batch python conversion)
@@ -1079,6 +1089,28 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
             new_dod = pa.array(
                 [payloads[r] for r in range(batch.num_rows)],
                 type=dod_a.type)
+            new_plain = None
+            if has_plain:
+                # a plain-layout table: splice the value array too (same
+                # in-worker arrays — the two representations must never
+                # diverge); unmatched rows pass their old values through
+                plain_a = batch.column(names.index(tier))
+                old_rows = {}
+                if unmatched.size:
+                    for row, lst in zip(
+                            unmatched,
+                            plain_a.take(pa.array(unmatched)).to_pylist()):
+                        old_rows[int(row)] = np.asarray(
+                            lst, dtype=np.int64)
+                per_row = [spliced_rows.get(r, old_rows.get(r))
+                           for r in range(batch.num_rows)]
+                offs = np.zeros(batch.num_rows + 1, dtype=np.int64)
+                np.cumsum([a.size for a in per_row], out=offs[1:])
+                flat = (np.concatenate(per_row) if per_row
+                        else np.empty(0, dtype=np.int64))
+                new_plain = pa.ListArray.from_arrays(
+                    pa.array(offs.astype(np.int32)),
+                    pa.array(flat.astype(np.int32)))
             cols = []
             ntok_new = batch.column(names.index("_ntok")) \
                 .to_numpy(zero_copy_only=False)
@@ -1087,6 +1119,8 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
             for c, col in zip(keep, base):
                 if c == dod_col:
                     cols.append(new_dod)
+                elif c == tier and new_plain is not None:
+                    cols.append(new_plain)
                 elif c == "n_tok" or (total_col and c == total_col):
                     upd = ntok_new if c == "n_tok" else tot_new
                     old = col.to_numpy(zero_copy_only=False)

@@ -181,3 +181,28 @@ def test_splice_plan_shape(spark, state, tmp_path):
     assert "Exchange" not in plan[
         plan.index("MapInArrow"):plan.index("SortMergeJoin")]
     assert plan.count("FileScan parquet") == 2  # each side scanned once
+
+
+def test_plain_layout_splices_both_representations(spark, state,
+                                                   tmp_path_factory):
+    """A PLAIN tier table (TIER_COLUMNS layout: value array + payload)
+    must have BOTH representations spliced — updating only the payload
+    would leave plain-path exports reading stale values."""
+    base = tmp_path_factory.mktemp("cupd_plain")
+    # rebuild the same init state in the PLAIN layout
+    full = sequences_df(spark, N_DOCS).filter(F.col("n_tok") >= 40)
+    init_raw = (
+        full.withColumn("tokens", F.expr("slice(tokens, 1, n_tok - 2)"))
+        .withColumn("n_tok", (F.col("n_tok") - 2).cast("int"))
+    )
+    comb = str(base / "comb")
+    materialize_rollup(init_raw, comb, CFG, n_buckets=4)
+    tiers = write_tier_tables(spark, comb, str(base / "tiers"),
+                              tiers=("dekad",), compact=False)
+    out = update_tier_compact(
+        spark, tiers["dekad"], "dekad", state["tail"], NUPDATE).collect()
+    want = _expected(state, "dekad")
+    assert len(out) == len(want)
+    for r in out:
+        assert list(r["dekad"]) == want[r["doc_id"]], r["doc_id"]
+        assert list(decode_dod(bytes(r["dekad_dod"]))) == list(r["dekad"])
