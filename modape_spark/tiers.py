@@ -999,6 +999,14 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
     DataFrame feeds MERGE INTO (catalog.merge_upsert_sql), with parquet
     tables apply_tier_compact_update() stages-and-swaps the directory.
 
+    When to use (measured, BENCH/BASELINE.md round-5 addendum 3): while
+    raw history is intact and a batch touches most keys, a full
+    rematerialize is CHEAPER (1 kernel pass + 1 write vs 3 joins + 3
+    rewrites).  The splice is the correct operation once retention has
+    trimmed the raw history (full recompute impossible — the reference's
+    nupdate write exists for exactly this state) or when the catalog
+    provides file-granular MERGE.
+
     ``tail`` must carry the PLAIN recomputed tail (incremental_rollup
     default store): doc_id, the ``tier`` array (>= nupdate points), the
     advanced n_tok, and dekad_total/pentad_total for the composite tiers.
