@@ -981,6 +981,78 @@ def q_kernel_fixedpoint_compact_update(spark: SparkSession,
     return _fixedpoint_emit(sm.join(dk, "doc_id").join(pt, "doc_id"))
 
 
+def q_kernel_fixedpoint_retention_update(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """The lifecycle where the splice is the ONLY correct operation,
+    under the closed-form oracle (BENCH/BASELINE.md round-5 addendum 3
+    measured full rematerialize as CHEAPER while raw history is intact —
+    this entry gates the state where it no longer is): init rollup over
+    the ramps minus their last 2 tokens -> compact tier tables ->
+    RETENTION-TRIM the raw history to the forward window (keep_tail=16;
+    the full token arrays now exist nowhere) -> REAL append onto the
+    trimmed rows (physical 18 of logical n tokens) -> windowed forward
+    recompute over the (physical suffix, logical length) rows
+    (nsmooth=16, nupdate=4) -> update_tier_compact splice -> swap -> C
+    decode readback.  The merged store must STILL equal the
+    uninterrupted full run closed-form exactly — same oracle as
+    tier_kernel_fixedpoint.  Composes retention.py's trim contract,
+    append over trimmed rows, the windowed trimmed-row kernel
+    (rollup._rollup_core logical-length grouping), the splice, and the
+    codec in the one pipeline a 10^12-row deployment actually runs.
+    (Reference semantics: the nupdate forward write, io.py:189-202,
+    whose reason to exist is exactly that raw history is gone.)"""
+    import tempfile
+
+    from .retention import retention_trim
+    from .tiers import (
+        apply_tier_compact_update,
+        materialize_rollup,
+        read_tier_compact,
+        write_tier_tables,
+    )
+
+    _release_caches()
+    raw = _track_cache(_fixedpoint_input(spark, sf_dir))
+    raw.count()
+    cfg = SmoothConfig(soptimize=True, p=0.90, tempint=_FX_TEMPINT,
+                       epoch="2003001")
+    init = (
+        raw.withColumn("tokens_full", F.col("tokens"))
+        .withColumn("tokens", F.expr("slice(tokens, 1, n_tok - 2)"))
+        .withColumn("n_tok", (F.col("n_tok") - 2).cast("int"))
+    )
+    init_raw = init.drop("tokens_full")
+    tmp = tempfile.mkdtemp(prefix="modape_fxrupd_")
+    _TMP_DIRS.append(tmp)
+    comb = f"{tmp}/comb"
+    materialize_rollup(init_raw, comb, cfg, n_buckets=8, store="compact")
+    tiers = write_tier_tables(spark, comb, f"{tmp}/tiers", compact=True)
+    # history is now tiered: trim raw to exactly the forward window
+    trimmed = retention_trim(init_raw, 16)
+    batches = init.select(
+        "doc_id",
+        F.lit("fwd").alias("batch_id"),
+        F.lit(1).cast("long").alias("proc_ts"),
+        F.expr("slice(tokens_full, n_tok + 1, 2)").alias("tokens_suffix"),
+        F.col("n_tok").cast("int").alias("start_offset"),
+    )
+    updated = append_suffixes(trimmed, batches)
+    tail = _track_cache(incremental_rollup(
+        updated, nsmooth=16, nupdate=4,
+        cfg=SmoothConfig(soptimize=True, p=0.90, tempint=_FX_TEMPINT,
+                         epoch="2003001")))
+    tail.count()
+    for tier in ("smoothed", "dekad", "pentad"):
+        apply_tier_compact_update(spark, tiers[tier], tier, tail, 4)
+    sm = read_tier_compact(spark, tiers["smoothed"], "smoothed").select(
+        "doc_id", "n_tok", "covered", "smoothed")
+    dk = read_tier_compact(spark, tiers["dekad"], "dekad").select(
+        "doc_id", "dekad")
+    pt = read_tier_compact(spark, tiers["pentad"], "pentad").select(
+        "doc_id", "pentad")
+    return _fixedpoint_emit(sm.join(dk, "doc_id").join(pt, "doc_id"))
+
+
 def q_kernel_fixedpoint_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2/ST3 incremental forward path under the fixed-point oracle:
     split the last 2 ramp tokens off as an append batch, run the REAL
@@ -1626,6 +1698,7 @@ QUERIES = {
     "kernel_fixedpoint_compact": q_kernel_fixedpoint_compact,
     "kernel_fixedpoint_compact_store": q_kernel_fixedpoint_compact_store,
     "kernel_fixedpoint_compact_update": q_kernel_fixedpoint_compact_update,
+    "kernel_fixedpoint_retention_update": q_kernel_fixedpoint_retention_update,
     "tier_optvp_contract": q_optvp_contract,
     "source_rollup_skewed": q_source_rollup_skewed,
     "retention_compact_lifecycle": q_retention_compact_lifecycle,
@@ -1654,6 +1727,7 @@ ORACLES: dict[str, str] = {
     "kernel_fixedpoint_compact": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_compact_store": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_compact_update": _kernel_fixedpoint_oracle(),
+    "kernel_fixedpoint_retention_update": _kernel_fixedpoint_oracle(),
     "kernel_fixedpoint_retention": _kernel_fixedpoint_retention_oracle(),
     # destroy-and-resume reproduces the SAME closed form — the oracle is
     # shared with tier_kernel_fixedpoint; the entry itself asserts the
