@@ -270,10 +270,11 @@ def cmd_info(args) -> int:
     if "n_tok" in df.columns:
         # reference modis_info date report (modis_info.py:28-34,65-67):
         # start/end of the raw axis + last collected, per distinct length
+        # (lengths sidecar when present — no job; distinct probe fallback)
         from .grids import raw_dates_for_length
+        from .tiers import table_lengths
 
-        lengths = sorted(
-            int(r[0]) for r in df.select("n_tok").distinct().collect())
+        lengths = sorted(table_lengths(spark, args.tiers, df))
         summary["date_axis"] = {
             str(n): {"start_date": raw_dates_for_length(n)[0],
                      "last_collected": raw_dates_for_length(n)[-1]}
