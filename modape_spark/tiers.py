@@ -1034,7 +1034,13 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
         (F.col(total_col) if total_col else F.col("n_tok"))
         .cast("int").alias("_total"),
     )
-    joined = src.join(t, "doc_id", "left")
+    # FULL outer, not left: a tail doc_id unknown to the store must fail
+    # loudly inside the same stage (the append validators' rejection
+    # style) — a left join would silently DROP such rows, and a CLI user
+    # pointing `update` at the wrong store would lose data with no
+    # signal.  Detection costs zero extra jobs: an unknown doc surfaces
+    # as a null store side (covered is non-null on every stored row).
+    joined = src.join(t, "doc_id", "full")
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
     nodata_i = int(nodata)
@@ -1045,6 +1051,15 @@ def update_tier_compact(spark: SparkSession, tier_dir: str, tier: str,
                 continue
             names = batch.schema.names
             base = [batch.column(names.index(c)) for c in keep]
+            store_ok = pa.compute.is_valid(
+                batch.column(names.index("covered"))).to_numpy(
+                zero_copy_only=False)
+            if not store_ok.all():
+                bad = batch.column(names.index("doc_id")) \
+                    .take(pa.array(np.flatnonzero(~store_ok)[:5])).to_pylist()
+                raise ValueError(
+                    "tail contains doc_ids unknown to the stored tier "
+                    f"(no series to splice onto); first offenders: {bad}")
             tail_a = batch.column(names.index("_tail"))
             valid = pa.compute.is_valid(tail_a).to_numpy(
                 zero_copy_only=False)

@@ -206,3 +206,15 @@ def test_plain_layout_splices_both_representations(spark, state,
     for r in out:
         assert list(r["dekad"]) == want[r["doc_id"]], r["doc_id"]
         assert list(decode_dod(bytes(r["dekad_dod"]))) == list(r["dekad"])
+
+
+def test_unknown_tail_doc_raises(spark, state):
+    """A tail doc_id absent from the store must fail loudly, not be
+    silently dropped (full-outer detection, zero extra jobs)."""
+    ghost = state["tail"].limit(1).withColumn(
+        "doc_id", F.lit("doc_not_in_store"))
+    out = update_tier_compact(
+        spark, state["tiers"]["dekad"], "dekad",
+        state["tail"].unionByName(ghost), NUPDATE)
+    with pytest.raises(Exception, match="unknown to the stored tier"):
+        out.collect()
