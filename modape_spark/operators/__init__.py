@@ -6,6 +6,7 @@ parquet views).  __spark_entry__.py aggregates them.
 """
 
 from . import (  # noqa: F401
+    decontaminate,
     dedup,
     granules,
     multimodal,
@@ -16,7 +17,7 @@ from . import (  # noqa: F401
 )
 
 _MODULES = (text, dedup, similarity, relational, multimodal, granules,
-            sampling)
+            sampling, decontaminate)
 
 
 def all_queries():

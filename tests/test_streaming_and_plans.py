@@ -188,3 +188,18 @@ def test_export_guard_plan_shape(spark, tmp_path):
     assert exchanges and all("Broadcast" in e for e in exchanges), exchanges
     # the guard itself is present and rides the scan side
     assert "raise_error" in plan and "lengths sidecar" in plan
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """The eval n-gram side of the decontamination join must broadcast
+    (it is always tiny relative to the training corpus), so the training
+    explode is never shuffled on the n-gram key: no SortMergeJoin, no
+    hashpartitioning on g below the join."""
+    from modape_spark.operators.decontaminate import q_decontaminate
+
+    df = q_decontaminate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    join_part = plan[: plan.index("BroadcastHashJoin")]
+    assert "hashpartitioning(g" not in join_part
