@@ -161,6 +161,56 @@ def q_decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_clean_stats_sql("spark"))
 
 
+def contaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct contaminated training doc_ids (one column, tiny by
+    construction — collisions are rare relative to the corpus)."""
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        with {_grams_cte("spark")},
+        {_sides_cte("spark")}
+        select /*+ BROADCAST(eval_grams) */ distinct t.doc_id
+        from train_grams t join eval_grams e on e.g = t.g
+    """)
+
+
+def write_clean_corpus(spark: SparkSession, sf_dir: str,
+                       out_path: str) -> dict:
+    """Materialize the decontaminated training corpus: drop eval docs
+    (row-local predicate) and contaminated docs (broadcast anti-join of
+    the tiny flagged set) in ONE corpus scan + write; counters ride the
+    write job as observed metrics (no separate count jobs) — the same
+    pattern as the tier lengths sidecar (tiers._observe_lengths).
+
+    Returns ``{"n_in": .., "n_eval": .., "n_contaminated": ..,
+    "n_clean": ..}`` where n_in = n_eval + n_contaminated + n_clean.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from .common import table
+
+    flagged = contaminated_ids(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_RES
+    tagged = docs.join(
+        F.broadcast(flagged.withColumn("_dirty", F.lit(True))),
+        "doc_id", "left")
+    obs = Observation()
+    tagged = tagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.count(F.when(is_eval, 1)).alias("n_eval"),
+        F.count(F.when(~is_eval & F.col("_dirty").isNotNull(), 1))
+            .alias("n_contaminated"),
+    )
+    clean = tagged.filter(~is_eval & F.col("_dirty").isNull()) \
+        .drop("_dirty")
+    clean.write.mode("overwrite").parquet(out_path)
+    got = obs.get
+    got["n_clean"] = got["n_in"] - got["n_eval"] - got["n_contaminated"]
+    return got
+
+
 QUERIES = {
     "docs_decontaminate": q_decontaminate,
     "docs_decontaminate_stats": q_decontaminate_stats,
