@@ -319,6 +319,20 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Benchmark-decontamination pass (operators/decontaminate.py):
+    write the training corpus minus eval docs and minus docs sharing any
+    5-word n-gram with the eval slice; prints the partition counters
+    (n_in = n_eval + n_contaminated + n_clean, observed on the write
+    job — no separate count jobs)."""
+    from .operators.decontaminate import write_clean_corpus
+
+    spark = _spark(args)
+    counters = write_clean_corpus(spark, args.docs, args.out)
+    print(json.dumps(counters))
+    return 0
+
+
 def cmd_csv(args) -> int:
     """csv_smooth analogue (local, no Spark)."""
     from .sources.csv_series import smooth_csv
@@ -433,6 +447,14 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("info")
     i.add_argument("--tiers", required=True)
     i.set_defaults(fn=cmd_info)
+
+    dc = sub.add_parser("decontaminate",
+                        help="write the corpus minus eval docs and minus "
+                             "eval-n-gram-contaminated docs")
+    dc.add_argument("--docs", required=True,
+                    help="directory holding documents.parquet")
+    dc.add_argument("--out", required=True)
+    dc.set_defaults(fn=cmd_decontaminate)
 
     v = sub.add_parser("csv")
     v.add_argument("--input", required=True)

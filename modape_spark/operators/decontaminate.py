@@ -161,10 +161,19 @@ def q_decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_clean_stats_sql("spark"))
 
 
+def _register_documents(spark: SparkSession, sf_dir: str) -> None:
+    """Register ONLY the documents view (same spread/widening as
+    register_views) — the writer surfaces run over any directory holding
+    a documents.parquet, not just the full fixture set."""
+    from .common import table
+
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
 def contaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct contaminated training doc_ids (one column, tiny by
     construction — collisions are rare relative to the corpus)."""
-    register_views(spark, sf_dir)
+    _register_documents(spark, sf_dir)
     return spark.sql(f"""
         with {_grams_cte("spark")},
         {_sides_cte("spark")}

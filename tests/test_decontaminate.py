@@ -13,12 +13,16 @@ from modape_spark.operators.decontaminate import (
     write_clean_corpus,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+# sf0.01, not sf0.001: the smaller fixture has ZERO n-gram collisions,
+# which would leave the contaminated-removal path untested (sf0.01 has 5
+# planted near-duplicates of eval docs)
+SF_DIR = "/root/testdata/sf0.01"
 
 
 def test_write_clean_corpus_matches_oracle(spark, tmp_path):
     out = str(tmp_path / "clean")
     counters = write_clean_corpus(spark, SF_DIR, out)
+    assert counters["n_contaminated"] > 0  # the fixture plants dups
 
     con = duckdb.connect()
     con.execute(f"create view documents as "
