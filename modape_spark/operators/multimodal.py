@@ -556,14 +556,85 @@ ORACLE_XMODAL_DEDUP = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Image resize: REAL decode -> 2x2 box downsample (the thumbnail /
+# feature-pyramid access pattern).  Floor-average per output pixel keeps
+# every value integer-exact, so the oracle recomputes the resized stats
+# closed-form from the pixel function — any decode OR downsample indexing
+# bug (row/col swap, off-by-one on the odd edge crop) hash-mismatches.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = ("doc_id long, out_w int, out_h int, r_sum bigint, "
+                 "r_corner int")
+
+
+def resize_box2(px: np.ndarray) -> np.ndarray:
+    """2x2 box downsample, floor average; odd trailing row/col cropped
+    (the standard pyramid-level contract)."""
+    h2, w2 = px.shape[0] // 2, px.shape[1] // 2
+    blocks = px[: h2 * 2, : w2 * 2].astype(np.int64)
+    return (blocks.reshape(h2, 2, w2, 2).sum(axis=(1, 3)) // 4)
+
+
+def _extract_resized(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].to_numpy()
+        out = {k: [] for k in ("out_w", "out_h", "r_sum", "r_corner")}
+        for d in ids:
+            blob = encode_png_gray(synth_pixels(int(d)))
+            small = resize_box2(decode_png_gray(blob))   # REAL decode path
+            h2, w2 = small.shape
+            out["out_w"].append(w2)
+            out["out_h"].append(h2)
+            out["r_sum"].append(int(small.sum(dtype=np.int64)))
+            out["r_corner"].append(int(small[h2 - 1, w2 - 1]))
+        yield pd.DataFrame({"doc_id": ids, **out})
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_extract_resized, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+def _px(y: str, x: str) -> str:
+    return f"(d.doc_id * 31 + ({y}) * 7 + ({x}) * 13) % 256"
+
+
+ORACLE_RESIZE = f"""
+    with dims as (
+        select doc_id,
+               (doc_id % 97 + 16) // 2 as w2,
+               (doc_id % 61 + 16) // 2 as h2
+        from documents
+    )
+    select d.doc_id,
+           cast(d.w2 as int) as out_w,
+           cast(d.h2 as int) as out_h,
+           cast(sum(({_px('2*yy.y', '2*xx.x')} + {_px('2*yy.y', '2*xx.x+1')}
+                     + {_px('2*yy.y+1', '2*xx.x')}
+                     + {_px('2*yy.y+1', '2*xx.x+1')}) // 4) as bigint)
+               as r_sum,
+           cast(({_px('2*d.h2-2', '2*d.w2-2')} + {_px('2*d.h2-2', '2*d.w2-1')}
+                 + {_px('2*d.h2-1', '2*d.w2-2')}
+                 + {_px('2*d.h2-1', '2*d.w2-1')}) // 4 as int) as r_corner
+    from dims d
+    join generate_series(0, 37) yy(y) on yy.y < d.h2
+    join generate_series(0, 55) xx(x) on xx.x < d.w2
+    group by d.doc_id, d.w2, d.h2
+    order by d.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_png,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_dedup": q_multimodal_dedup,
 }
 ORACLES = {
     "multimodal_meta": ORACLE_MULTIMODAL,
+    "multimodal_resize": ORACLE_RESIZE,
     "multimodal_audio": ORACLE_AUDIO,
     "multimodal_frames": ORACLE_FRAMES,
     "multimodal_dedup": ORACLE_XMODAL_DEDUP,
