@@ -100,12 +100,68 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_budget_sql("spark"))
 
 
+CONTEXT_LEN = 512   # packing context budget (whitespace tokens); low
+# enough that every source spans multiple bins at the driver SF
+
+
+def _pack_sql(dialect: str, ctx: int = CONTEXT_LEN) -> str:
+    """Sequence packing, GPT-style concat-and-chunk: within each source,
+    documents are concatenated in doc_id order and cut every ``ctx``
+    tokens (docs may straddle a cut — the training-time packing that
+    wastes zero tokens, as opposed to greedy bin packing whose
+    keep-or-open-new-bin decision is inherently sequential).  A doc's
+    bin is closed-form from the window cumsum: floor(tokens_before /
+    ctx) — a doc is reported in the bin where it STARTS.
+
+    Scale shape: packing is per-source (partition by source, order by
+    doc_id) — ONE hash-shuffle, no global sort; a skewed deployment
+    sub-shards the big source on a deterministic doc_id band first and
+    offsets bin ids per shard.  Output: per-(source, bin) composition
+    (doc count, packed tokens, doc_id span)."""
+    if dialect == "spark":
+        ntok = "size(split(text, ' '))"
+        bin_expr = f"(coalesce(before, 0) div {ctx})"
+    else:
+        ntok = "len(string_split(text, ' '))"
+        bin_expr = f"coalesce(before, 0) // {ctx}"
+    return f"""
+        with t as (
+            select doc_id, source, {ntok} as tok
+            from documents
+        ),
+        c as (
+            select doc_id, source, tok,
+                   sum(tok) over (
+                       partition by source order by doc_id
+                       rows between unbounded preceding and 1 preceding
+                   ) as before
+            from t
+        )
+        select source,
+               cast({bin_expr} as bigint) as bin,
+               count(*) as n_docs,
+               cast(sum(tok) as bigint) as packed_tokens,
+               min(doc_id) as first_doc,
+               max(doc_id) as last_doc
+        from c
+        group by source, {bin_expr}
+        order by source, bin
+    """
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_pack_sql("spark"))
+
+
 QUERIES = {
     "docs_split_mix": q_split_mix,
     "docs_token_budget_sample": q_token_budget_sample,
+    "docs_pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
     "docs_split_mix": _split_sql("duck"),
     "docs_token_budget_sample": _budget_sql("duck"),
+    "docs_pack_sequences": _pack_sql("duck"),
 }
