@@ -320,8 +320,50 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ivf_sql("spark"))
 
 
+def _label_stats_sql(dialect: str) -> str:
+    """Per-label embedding distribution statistics — the aggregation a
+    curation pipeline monitors for drift between corpus snapshots:
+    element count, fixed-point sum (zeroth moment), position-weighted
+    sum (first moment — catches any positional misalignment a plain sum
+    would mask), and the min/max element.  Fixed point is the repo's
+    floor(x*1e6+0.5) contract (no rounding-mode divergence between
+    engines).  Scale shape: posexplode + one hash-shuffle on (label) —
+    partial aggregation map-side; 10^12 x 64 elements reduce to
+    n_labels rows."""
+    if dialect == "spark":
+        fp = "cast(floor(cast(e as double) * 1000000 + 0.5) as bigint)"
+        ex = ("select label, pos, e from embeddings "
+              "lateral view posexplode(embedding) t as pos, e")
+    else:
+        fp = "cast(floor(cast(e as double) * 1000000 + 0.5) as bigint)"
+        # no WITH ORDINALITY in this DuckDB build: position join via
+        # generate_series + 1-based list indexing instead
+        ex = ("select m.label, s.pos, m.embedding[s.pos + 1] as e "
+              "from embeddings m join generate_series(0, 255) s(pos) "
+              "on s.pos < len(m.embedding)")
+    return f"""
+        with ex as ({ex}),
+        fp as (select label, pos, {fp} as v from ex)
+        select label,
+               cast(count(*) as bigint) as n_elems,
+               cast(sum(v) as bigint) as sum_fp,
+               cast(sum(v * pos) as bigint) as moment_fp,
+               cast(min(v) as bigint) as min_fp,
+               cast(max(v) as bigint) as max_fp
+        from fp
+        group by label
+        order by label
+    """
+
+
+def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_label_stats_sql("spark"))
+
+
 QUERIES = {
     "emb_knn_brute": q_knn_brute,
+    "emb_label_stats": q_emb_label_stats,
     "emb_neardup_pairs": q_neardup,
     "emb_ann_lsh_buckets": q_ann_lsh_buckets,
     "emb_ivf_topk": q_ivf_topk,
@@ -329,6 +371,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_knn_brute": _knn_sql("duck"),
+    "emb_label_stats": _label_stats_sql("duck"),
     "emb_neardup_pairs": _neardup_sql("duck"),
     "emb_ann_lsh_buckets": _ann_lsh_sql("duck"),
     "emb_ivf_topk": _ivf_sql("duck"),
