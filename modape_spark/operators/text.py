@@ -185,8 +185,48 @@ ORACLE_FINGERPRINT = f"""
 """
 
 
+def _vocab_sql(dialect: str, k: int = 3) -> str:
+    """Corpus word-frequency statistics: top-``k`` lowercased whitespace
+    tokens per source by document frequency-weighted count — the
+    counting pass a BPE/unigram tokenizer-training pipeline runs first.
+    Ties broken lexically so the rank is total and engine-independent.
+    Scale shape: explode -> (source, word) partial-agg groupBy (ONE
+    shuffle; word cardinality is vocabulary-sized, far below row count)
+    -> per-source top-k window over the already-aggregated counts."""
+    if dialect == "spark":
+        ex = ("select source, w from documents "
+              "lateral view explode(split(lower(text), ' ')) t as w")
+    else:
+        ex = ("select source, unnest(string_split(lower(text), ' ')) as w "
+              "from documents")
+    return f"""
+        with ex as ({ex}),
+        counts as (
+            select source, w, count(*) as cnt
+            from ex group by source, w
+        ),
+        ranked as (
+            select source, w, cnt,
+                   row_number() over (partition by source
+                                      order by cnt desc, w) as rnk
+            from counts
+        )
+        select source, cast(rnk as int) as rnk, w as word,
+               cast(cnt as bigint) as cnt
+        from ranked
+        where rnk <= {k}
+        order by source, rnk
+    """
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_vocab_sql("spark"))
+
+
 QUERIES = {
     "docs_token_count": q_token_count,
+    "docs_vocab_topk": q_vocab_topk,
     "docs_quality": q_quality,
     "docs_langid": q_langid,
     "docs_fingerprint": q_fingerprint,
@@ -194,6 +234,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_token_count": ORACLE_TOKEN_COUNT,
+    "docs_vocab_topk": _vocab_sql("duck"),
     "docs_quality": ORACLE_QUALITY,
     "docs_langid": ORACLE_LANGID,
     "docs_fingerprint": ORACLE_FINGERPRINT,
