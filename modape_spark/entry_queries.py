@@ -26,6 +26,7 @@ from .constants import STRES_DEKAD, STRES_PENTAD
 from .fixtures import n_rows_for_sf
 from .grids import grid_for_length
 from .incremental import append_suffixes, incremental_rollup
+from .plans.partitioning import ordered_result
 from .rollup import CFG_ALL, CFG_FIXED, CFG_SMOOTH, SmoothConfig
 from .sources.sequences import sequences_df
 from .tiers import rollup_dataframe
@@ -62,6 +63,23 @@ def _release_caches() -> None:
             pass
 
 
+def _n_documents(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the driver's ``documents`` table from the parquet
+    FOOTER (pure metadata read, zero Spark jobs).  The sequences-table
+    queries only need this count to size the synthetic table 1:1 with
+    documents.doc_id; the previous ``documents.count()`` was a full scan
+    (plus the _spread round-robin exchange) per invocation — needless at
+    any scale (VERDICT r5 "What's wrong" #1).  Non-file layouts (a
+    directory table) fall back to the exact Spark count."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        return int(pq.read_metadata(path).num_rows)
+    except Exception:
+        return spark.read.parquet(path).count()
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -80,44 +98,45 @@ def _checksum(col: str) -> F.Column:
 
 def q_tier_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = rollup_dataframe(_raw(spark, sf_dir), CFG_SMOOTH)
-    return rolled.select(
+    out = rolled.select(
         "doc_id", "source", "n_tok", "covered",
         F.round(F.col("sopt_log10").cast("double"), 4).alias("sopt_log10_r"),
         _checksum("smoothed").alias("smoothed_sum"),
         F.element_at("smoothed", 1).alias("first_val"),
         F.element_at("smoothed", -1).alias("last_val"),
-    ).orderBy("doc_id")
+    )
+    return ordered_result(out, "doc_id")
 
 
 def q_tier_dekad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = rollup_dataframe(_raw(spark, sf_dir), CFG_ALL)
-    return rolled.select(
+    return ordered_result(rolled.select(
         "doc_id", "n_tok", "covered",
         F.size("dekad").alias("n_points"),
         _checksum("dekad").alias("dekad_sum"),
         F.element_at("dekad", -1).alias("last_val"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def q_tier_pentad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = rollup_dataframe(_raw(spark, sf_dir), CFG_ALL)
-    return rolled.select(
+    return ordered_result(rolled.select(
         "doc_id", "n_tok", "covered",
         F.size("pentad").alias("n_points"),
         _checksum("pentad").alias("pentad_sum"),
         F.element_at("pentad", -1).alias("last_val"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def q_tier_fixed_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed lambda=10 smoothing (the golden-test configuration,
     /root/reference/tests/test_whittaker.py:37)."""
     rolled = rollup_dataframe(_raw(spark, sf_dir), CFG_FIXED)
-    return rolled.select(
+    return ordered_result(rolled.select(
         "doc_id", "covered",
         _checksum("smoothed").alias("smoothed_sum"),
         _checksum("dekad").alias("dekad_sum"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 _RT_SCHEMA = "doc_id string, ok int, raw_bytes long, dod_bytes long"
@@ -188,12 +207,12 @@ def q_incremental_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated = append_suffixes(init.drop("tokens_full"), batches)
     tail = incremental_rollup(updated, nsmooth=16, nupdate=1,
                               cfg=SmoothConfig(soptimize=True, p=0.90, tempint=(STRES_DEKAD,)))
-    return tail.select(
+    return ordered_result(tail.select(
         "doc_id", "covered",
         _checksum("smoothed").alias("window_sum"),
         F.element_at("smoothed", -1).alias("last_val"),
         F.size("dekad").alias("dekad_points"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,7 +322,7 @@ def q_sgrid_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.join(state, "doc_id"),
         SmoothConfig(soptimize=False, svalue=None, p=0.90, tempint=()),
     ).select("doc_id", _checksum("smoothed").alias("sum_fixed"))
-    return (
+    out = (
         first.join(forward, "doc_id")
         .select(
             "doc_id", "covered",
@@ -313,8 +332,8 @@ def q_sgrid_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_fixed") - F.col("sum_opt")).alias("checksum_delta"),
             (F.col("sum_opt") == F.col("sum_fixed")).alias("parity_ok"),
         )
-        .orderBy("doc_id")
     )
+    return ordered_result(out, "doc_id")
 
 
 def q_tier_grid_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,9 +352,7 @@ def q_tier_grid_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     pentad_total come from size() of the kernel's output arrays — a grid
     misalignment anywhere in the scatter/gather path changes them."""
     from .fixtures import LENGTHS
-    from .operators.common import table as _table
-
-    n_docs = _table(spark, sf_dir, "documents").count()
+    n_docs = _n_documents(spark, sf_dir)
     rolled = rollup_dataframe(sequences_df(spark, n_docs), CFG_ALL)
     dims = []
     for n in sorted(LENGTHS):
@@ -524,10 +541,9 @@ def q_retention_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes everything closed-form from the splitmix64 length
     and source assignments (fixtures.row_lengths / row_sources).  Keyed
     to documents.doc_id, so the oracle is scale-factor independent."""
-    from .operators.common import table as _table
     from .retention import retention_trim
 
-    n_docs = _table(spark, sf_dir, "documents").count()
+    n_docs = _n_documents(spark, sf_dir)
     trimmed = retention_trim(sequences_df(spark, n_docs), _RETENTION_KEEP)
     return (
         trimmed.groupBy("source")
@@ -1133,9 +1149,7 @@ def q_optvp_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the expected flag per row, so a wrong gate, an off-grid sopt, or
     a non-zero gated sopt all hash-mismatch.  This runs the REAL optimizing
     kernel (CFG_SMOOTH) over the REAL synthetic table."""
-    from .operators.common import table as _table
-
-    n_docs = _table(spark, sf_dir, "documents").count()
+    n_docs = _n_documents(spark, sf_dir)
     rolled = rollup_dataframe(sequences_df(spark, n_docs), CFG_SMOOTH)
     arr = F.array(*[F.lit(m) for m in _optvp_midpoints()])
     sopt = F.col("sopt_log10").cast("double")
@@ -1149,10 +1163,10 @@ def q_optvp_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(in_grid, F.lit("grid"))
         .otherwise(F.lit("off"))
     )
-    return rolled.select(
+    return ordered_result(rolled.select(
         F.expr("cast(substring(doc_id, 4) as bigint)").alias("doc_id"),
         "n_tok", "covered", flag.alias("sopt_flag"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def _optvp_contract_oracle() -> str:
@@ -1639,10 +1653,9 @@ def q_source_rollup_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg merges — the skew shape a 10^12-row per-source accounting query
     takes.  Oracle: plain GROUP BY over the closed-form splitmix length
     and source assignments."""
-    from .operators.common import table as _table
     from .plans.partitioning import skewed_group_agg
 
-    n_docs = _table(spark, sf_dir, "documents").count()
+    n_docs = _n_documents(spark, sf_dir)
     seq = sequences_df(spark, n_docs).select("doc_id", "n_tok", "source")
     agg = skewed_group_agg(
         seq, "source",

@@ -24,14 +24,29 @@ N_BANDS = 4
 BAND_ROWS = 4
 
 
+# (applicationId, sf_dir) of the session whose views are current: every
+# operator query calls register_views, and re-reading 10 parquet footers +
+# re-registering 10 views per query is ~0.3-0.5 s of driver-side work that
+# repeats identically within a session (guide §5: the driver should do
+# almost no data work).  The testdata tables are immutable, so views
+# registered once stay valid; a different sf_dir (or a new session)
+# re-registers.
+_REGISTERED: dict[str, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver tables as temp views with the same names the
-    driver's DuckDB oracle uses, so query text is portable.
+    driver's DuckDB oracle uses, so query text is portable.  Idempotent
+    per (session, sf_dir): repeat calls are a dict lookup, not 10 parquet
+    footer reads.
 
     Pins the session timezone to UTC: the oracle (DuckDB) treats parquet
     timestamps as naive, so Spark must too regardless of the caller's
     session defaults.
     """
+    app_id = spark.sparkContext.applicationId
+    if _REGISTERED.get(app_id) == sf_dir:
+        return
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
@@ -41,6 +56,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         if t in _SPREAD_TABLES:
             df = _spread(spark, df)
         df.createOrReplaceTempView(t)
+    _REGISTERED[app_id] = sf_dir
 
 
 # Tables whose per-row compute dwarfs their bytes (shingle explodes,

@@ -76,15 +76,23 @@ def _grams_cte(dialect: str) -> str:
 def _sides_cte(dialect: str) -> str:
     """Exploded per-n-gram rows for the eval and training sides."""
     if dialect == "spark":
+        # OUTER explode: a plain explode lets Catalyst infer
+        # ``size(gs) > 0 AND isnotnull(gs)`` and push the whole
+        # interpreted n-gram transform into the scan filter (an extra
+        # single-task evaluation of the expensive expression per side —
+        # the same InferFiltersFromGenerate hazard measured at 8 s on the
+        # minhash pipeline, dedup._bands_cte).  ``size(w) >= NGRAM`` in
+        # the grams CTE guarantees gs is non-empty, so outer emits
+        # exactly the same rows.
         return f"""
             eval_grams as (
                 select doc_id as eval_id, g
-                from grams lateral view explode(gs) t as g
+                from grams lateral view outer explode(gs) t as g
                 where doc_id % {EVAL_MOD} = {EVAL_RES}
             ),
             train_grams as (
                 select doc_id, g
-                from grams lateral view explode(gs) t as g
+                from grams lateral view outer explode(gs) t as g
                 where doc_id % {EVAL_MOD} <> {EVAL_RES}
             )
         """

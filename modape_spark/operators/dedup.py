@@ -87,38 +87,68 @@ def _minhash_sql_duck() -> str:
     return f"[{els}]"
 
 
+def _band_hash_scalar(j0: int) -> str:
+    """Codegen'd scalar form of the band fold ``aggregate(slice(mh, j0+1,
+    BAND_ROWS), 0L, (acc, v) -> (acc*31 + v) % P31)`` over the min columns
+    m{j0}..m{j0+3}: integer arithmetic, so the unrolled expression is
+    EXACTLY the interpreted fold's value (first step (0*31+v)%P == v since
+    every minhash residue < P31), but it runs inside whole-stage codegen
+    instead of Spark's interpreted higher-order ``aggregate``."""
+    acc = f"cast(m{j0} as bigint)"
+    for j in range(j0 + 1, j0 + BAND_ROWS):
+        acc = f"((({acc}) * 31 + m{j}) % {P31})"
+    return acc
+
+
 def _bands_cte(mh_expr: str, dialect: str) -> str:
     """doc_id, band, band_hash rows; band hash = fold of the band's rows."""
     if dialect == "spark":
-        fold = (
-            f"aggregate(slice(mh, band * {BAND_ROWS} + 1, {BAND_ROWS}), "
-            f"0L, (acc, v) -> (acc * 31 + v) % {P31})"
-        )
         # one exploded pass + 16 codegen'd min-aggregates (higher-order
         # functions are interpreted in Spark; a groupBy-min over the
         # exploded shingle hashes stays in whole-stage codegen and scans
-        # the shingles ONCE for all permutations)
+        # the shingles ONCE for all permutations).  The per-shingle md5
+        # runs as a SCALAR expression on the exploded rows — round-1..5
+        # hashed inside an interpreted ``transform`` lambda over the
+        # shingle array, which (a) ran interpreted and (b) was inlined by
+        # Catalyst into the Generate's pushed-down null/size Filter, so
+        # the whole md5 pipeline evaluated TWICE per row (plan audit,
+        # plans/r06/docs_minhash_lsh_before.txt operators (2)/(5)); the
+        # exploded scalar form hashes each shingle exactly once, in
+        # codegen.  Band hashes are unrolled scalars for the same reason.
         mins = ", ".join(
             f"min((({a} * h) % {P31} + {b}) % {P31}) as m{j}"
             for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         )
         arr = ", ".join(f"m{j}" for j in range(N_MINHASH))
+        band_structs = ", ".join(
+            f"named_struct('band', {b}, 'bh', {_band_hash_scalar(b * BAND_ROWS)})"
+            for b in range(N_BANDS)
+        )
         return f"""
             words as ({words_cte("spark")}),
             exploded as (
-                select doc_id, s.h as h
+                -- OUTER explode: a plain explode makes Catalyst INFER
+                -- ``size(shs) > 0 AND isnotnull(shs)`` and push both down,
+                -- inlining the whole interpreted shingle transform into
+                -- the pre-exchange scan filter (measured 8 s single-task
+                -- at sf0.1 vs <1 s for the projection itself); outer
+                -- generates are exempt from that inference, and the
+                -- ``size(w) >= 3`` filter guarantees shs is non-empty, so
+                -- outer emits exactly the same rows
+                select doc_id, s.col as sh
                 from (
-                    select doc_id,
-                           transform({shingles_spark()}, s -> {h32_spark('s')} % {P31}) as hs
+                    select doc_id, {shingles_spark()} as shs
                     from words
                     where size(w) >= 3
-                ) lateral view explode(hs) s as h
+                ) lateral view outer explode(shs) s as col
             ),
-            mins as (select doc_id, {mins} from exploded group by doc_id),
-            sigs as (select doc_id, array({arr}) as mh from mins),
+            hashed as (select doc_id, {h32_spark('sh')} % {P31} as h
+                       from exploded),
+            mins as (select doc_id, {mins} from hashed group by doc_id),
             bands as (
-                select doc_id, mh, band, {fold} as band_hash
-                from sigs lateral view explode(sequence(0, {N_BANDS - 1})) t as band
+                select doc_id, array({arr}) as mh, b.band as band,
+                       b.bh as band_hash
+                from mins lateral view explode(array({band_structs})) t as b
             )
         """
     fold = (
@@ -165,24 +195,57 @@ def _pairs_tail_sql(dialect: str, src: str = "bands") -> str:
     """
 
 
-def _minhash_pairs_sql(dialect: str) -> str:
-    """Spark inlines CTEs per reference, so joining ``sigs`` back onto the
-    candidates re-ran the whole shingle->hash->min pipeline twice more
-    (4 scans total in the round-1 plan, zero ReusedExchange).  Carrying
-    ``mh`` through the band rows and deduping with group-by + first()
-    halves the pipeline executions and drops the distinct+2 joins.
+def _pairs_tail_grouped_spark() -> str:
+    """Spark-only candidate-pair tail: bucket members gathered with ONE
+    groupBy on (band, band_hash) + in-bucket pairing, instead of the
+    bands-vs-bands self-join.  Spark inlines CTEs per reference, so the
+    round-5 self-join executed the whole shingle->md5->min pipeline once
+    per join side (plans/r06/docs_minhash_lsh_before.txt: two full scan
+    subtrees, zero ReusedExchange); grouping the SINGLE bands relation by
+    bucket runs the pipeline exactly once.  (A persist()+count
+    materialization was tried in round 1 and measured 2x slower — the
+    cache-build barrier serializes work; the groupBy form has no barrier
+    and no cache.)  In-bucket pair fan-out is the same m^2 the join
+    produced, bounded by band collisions; the per-bucket member list is
+    O(bucket size) memory, the same relation the join's hash table held.
+    Identical rows: same pair multiset -> same group-by + first() dedup."""
+    n_eq = f"size(filter(sequence(0, {N_MINHASH - 1}), i -> mha[i] = mhb[i]))"
+    return f"""
+        buckets as (
+            select band, band_hash,
+                   collect_list(struct(doc_id, mh)) as ms
+            from bands
+            group by band, band_hash
+        ),
+        pairs as (
+            select a.doc_id as da, b.doc_id as db, a.mh as mha, b.mh as mhb
+            from buckets
+            lateral view explode(ms) ta as a
+            lateral view explode(ms) tb as b
+            where a.doc_id < b.doc_id
+        ),
+        cand as (
+            select da, db, first(mha) as mha, first(mhb) as mhb
+            from pairs
+            group by da, db
+        )
+        select da as doc_a, db as doc_b,
+               {n_eq} as n_equal_minhash,
+               {n_eq} * {10000 // N_MINHASH} as est_jaccard_e4
+        from cand
+        order by doc_a, doc_b
+    """
 
-    The remaining two executions (the self-join's x and y sides) are
-    deliberate: a persist()+count materialization of the bands relation
-    was tried and MEASURED 2x slower at sf0.1 in an interleaved
-    same-session comparison (11 s vs 5.3 s) -- the cache-build barrier
-    serializes work the planner otherwise overlaps across cores, and the
-    columnar cache encode costs more than the second pipeline run.  At
-    10^12 rows the signature store becomes a WRITTEN table (a real
-    materialization, not session cache), which has no barrier on the
-    query path."""
+
+def _minhash_pairs_sql(dialect: str) -> str:
+    """Bands relation + candidate-pair tail.  The Spark form computes the
+    signature pipeline ONCE (grouped tail, _pairs_tail_grouped_spark);
+    the DuckDB oracle keeps the self-join formulation (DuckDB
+    materializes CTEs, so its pipeline also runs once)."""
     mh = _minhash_sql_spark() if dialect == "spark" else _minhash_sql_duck()
     bands = _bands_cte(mh, dialect)
+    if dialect == "spark":
+        return f"with {bands}, {_pairs_tail_grouped_spark()}"
     return f"with {bands}, {_pairs_tail_sql(dialect)}"
 
 
@@ -297,10 +360,18 @@ def _simhash_sql(dialect: str) -> str:
     Words materialized once (see common.words_cte) and the per-shingle md5
     computed ONCE in the explode — not 16x inside the bit sums."""
     if dialect == "spark":
+        # outer explode + explicit null guard: dodges Catalyst's
+        # InferFiltersFromGenerate, which inlines the full interpreted
+        # shingle transform into the pre-exchange scan filter (see
+        # _bands_cte).  Shingle strings are never null (concat of array
+        # elements), so ``s.col is null`` marks exactly the synthetic
+        # rows outer emits for empty shingle arrays — dropping them
+        # reproduces the inner explode's rows bit-for-bit.
         explode = (
             f"select doc_id, {h32_spark('s.col')} as hv from "
             f"(select doc_id, {shingles_spark()} as shs "
-            f"from ({words_cte('spark')})) lateral view explode(shs) s as col"
+            f"from ({words_cte('spark')})) lateral view outer explode(shs) "
+            f"s as col where s.col is not null"
         )
         bit_sums = ", ".join(
             f"sum(case when shiftright(hv, {k}) % 2 = 1 then 1 else -1 end) as b{k}"
@@ -392,10 +463,15 @@ def _jaccard_sql(dialect: str) -> str:
     div = ("c * 10000 div (na + nb - c)" if dialect == "spark"
            else "c * 10000 // (na + nb - c)")
     if dialect == "spark":
+        # outer explode + null guard: same InferFiltersFromGenerate dodge
+        # as _bands_cte / _simhash_sql, identical rows (shingles are
+        # never null, so the guard removes only the outer-emitted rows
+        # of empty shingle arrays)
         explode = (
             f"select doc_id, s.col as sh from (select doc_id, "
             f"{shingles_spark()} as shs from ({words_cte('spark')})) "
-            f"lateral view explode(shs) s as col"
+            f"lateral view outer explode(shs) s as col "
+            f"where s.col is not null"
         )
     else:
         explode = (

@@ -54,6 +54,24 @@ def skewed_group_agg(df: DataFrame, key: str, aggs: list, salt_buckets: int = 16
     return partial.groupBy(key).agg(*[e.alias(a) for e, a in aggs])
 
 
+def ordered_result(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally ordered driver-check projection WITHOUT the range-sampling
+    pass.  ``orderBy`` plans a RangePartitioning exchange whose partitioner
+    SAMPLES the sort key by executing the whole child plan once more —
+    when the child is an unmaterialized kernel pipeline (mapInArrow, no
+    exchange below the Sort) that is a full second kernel pass (measured:
+    48 vs 24 gen+kernel tasks, 2.4x wall on tier_fixed_lambda at sf0.1).
+    A single-partition shuffle of the NARROW result rows plus an
+    in-partition sort yields the identical global order with the pipeline
+    executed exactly once.
+
+    Only for driver-collected check projections (compact checksum rows,
+    ~row-count x few columns): the final sort is one task over the small
+    result, while the avoided sampling pass scales with the FULL kernel
+    cost.  Production tier writes never collect ordered output."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def explain_scan_pushdown(df: DataFrame) -> str:
     """Formatted plan text, for asserting PushedFilters/ReadSchema in tests
     and for plan review during development."""
