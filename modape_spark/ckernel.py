@@ -113,6 +113,187 @@ void envelope_rows(const double* Y, const double* lam, const double* W,
     }
 }
 
+
+/* --- blocked (row-interleaved) solver forms ---------------------------
+   Lanes of MODAPE_BS rows run the IDENTICAL per-row operation sequence
+   side by side in a transposed (time-major) layout, so the compiler
+   auto-vectorizes the recurrence ACROSS rows — the time recurrence is
+   sequential per row, but rows are independent, and the scalar form left
+   the divide units idle waiting on each step's division latency.
+   Per-lane results are bit-identical to ws2d_row/envelope_rows: the same
+   IEEE add/mul/div sequence per row (no reassociation, and the build pins
+   -ffp-contract=off so no FMA merging), and SIMD lanes round exactly like
+   scalar ops.  Pad lanes (block tail past R) run on benign inputs
+   (y=0, w=1, lam=1) and are discarded. */
+#define MODAPE_BS 8
+
+static void ws2d_block(const double* yt, const double* lamv,
+                       const double* wt, double* zt,
+                       double* wd, double* wc, double* we, long n)
+{
+    enum { BS = MODAPE_BS };
+    long m = n - 1, i; int j;
+    double lam2n[BS], lam4n[BS], lam5[BS], lam6[BS];
+    for (j = 0; j < BS; j++) {
+        lam2n[j] = -2.0 * lamv[j]; lam4n[j] = -4.0 * lamv[j];
+        lam5[j] = 5.0 * lamv[j];   lam6[j] = 6.0 * lamv[j];
+    }
+    for (i = 0; i < n; i++)
+        for (j = 0; j < BS; j++)
+            zt[i*BS+j] = wt[i*BS+j] * yt[i*BS+j];
+    for (j = 0; j < BS; j++) {
+        wd[0*BS+j] = wt[0*BS+j] + lamv[j];
+        wc[0*BS+j] = lam2n[j] / wd[0*BS+j];
+        we[0*BS+j] = lamv[j] / wd[0*BS+j];
+        wd[1*BS+j] = wt[1*BS+j] + lam5[j] - wd[0*BS+j] * (wc[0*BS+j] * wc[0*BS+j]);
+        wc[1*BS+j] = (lam4n[j] - wd[0*BS+j] * wc[0*BS+j] * we[0*BS+j]) / wd[1*BS+j];
+        we[1*BS+j] = lamv[j] / wd[1*BS+j];
+        zt[1*BS+j] -= wc[0*BS+j] * zt[0*BS+j];
+    }
+    for (i = 2; i < m - 1; i++) {
+        const double* wci1 = wc + (i-1)*BS; const double* wei2 = we + (i-2)*BS;
+        const double* wdi1 = wd + (i-1)*BS; const double* wdi2 = wd + (i-2)*BS;
+        const double* wei1 = we + (i-1)*BS;
+        double* wdi = wd + i*BS; double* wci = wc + i*BS; double* wei = we + i*BS;
+        double* zi = zt + i*BS;
+        const double* zi1 = zt + (i-1)*BS; const double* zi2 = zt + (i-2)*BS;
+        const double* wi = wt + i*BS;
+        for (j = 0; j < BS; j++) {
+            wdi[j] = wi[j] + lam6[j] - (wci1[j] * wci1[j]) * wdi1[j]
+                                     - (wei2[j] * wei2[j]) * wdi2[j];
+            wci[j] = (lam4n[j] - wdi1[j] * wci1[j] * wei1[j]) / wdi[j];
+            wei[j] = lamv[j] / wdi[j];
+            zi[j] -= wci1[j] * zi1[j];
+            zi[j] -= wei2[j] * zi2[j];
+        }
+    }
+    for (j = 0; j < BS; j++) {
+        wd[(m-1)*BS+j] = wt[(m-1)*BS+j] + lam5[j]
+            - (wc[(m-2)*BS+j] * wc[(m-2)*BS+j]) * wd[(m-2)*BS+j]
+            - (we[(m-3)*BS+j] * we[(m-3)*BS+j]) * wd[(m-3)*BS+j];
+        wc[(m-1)*BS+j] = (lam2n[j] - wd[(m-2)*BS+j] * wc[(m-2)*BS+j] * we[(m-2)*BS+j])
+                         / wd[(m-1)*BS+j];
+        zt[(m-1)*BS+j] -= wc[(m-2)*BS+j] * zt[(m-2)*BS+j];
+        zt[(m-1)*BS+j] -= we[(m-3)*BS+j] * zt[(m-3)*BS+j];
+        wd[m*BS+j] = wt[m*BS+j] + lamv[j]
+            - (wc[(m-1)*BS+j] * wc[(m-1)*BS+j]) * wd[(m-1)*BS+j]
+            - (we[(m-2)*BS+j] * we[(m-2)*BS+j]) * wd[(m-2)*BS+j];
+        zt[m*BS+j] = (zt[m*BS+j] - wc[(m-1)*BS+j] * zt[(m-1)*BS+j]
+                      - we[(m-2)*BS+j] * zt[(m-2)*BS+j]) / wd[m*BS+j];
+        zt[(m-1)*BS+j] = zt[(m-1)*BS+j] / wd[(m-1)*BS+j] - wc[(m-1)*BS+j] * zt[m*BS+j];
+    }
+    for (i = m - 2; i >= 0; i--) {
+        double* zi = zt + i*BS;
+        const double* zi1 = zt + (i+1)*BS; const double* zi2 = zt + (i+2)*BS;
+        const double* wdi = wd + i*BS; const double* wci = wc + i*BS;
+        const double* wei = we + i*BS;
+        for (j = 0; j < BS; j++)
+            zi[j] = zi[j] / wdi[j] - wci[j] * zi1[j] - wei[j] * zi2[j];
+    }
+}
+
+/* Blocked ws2d over R rows.  Returns 0 ok, -1 on alloc failure (caller
+   falls back to the scalar path). */
+long ws2d_rows_blk(const double* Y, const double* lam, const double* W,
+                   double* Z, long n, long R)
+{
+    enum { BS = MODAPE_BS };
+    size_t plane = (size_t)n * BS;
+    double* buf = (double*)malloc(plane * 6 * sizeof(double));
+    double lamv[BS];
+    long r0, i; int j;
+    if (!buf) return -1;
+    {
+        double* yt = buf;            double* wt = buf + plane;
+        double* zt = buf + 2*plane;  double* wd = buf + 3*plane;
+        double* wc = buf + 4*plane;  double* we = buf + 5*plane;
+        for (r0 = 0; r0 < R; r0 += BS) {
+            int B = (int)((R - r0 < BS) ? (R - r0) : BS);
+            for (j = 0; j < B; j++) lamv[j] = lam[r0+j];
+            for (j = B; j < BS; j++) lamv[j] = 1.0;
+            for (i = 0; i < n; i++) {
+                for (j = 0; j < B; j++) {
+                    yt[i*BS+j] = Y[(r0+j)*n + i];
+                    wt[i*BS+j] = W[(r0+j)*n + i];
+                }
+                for (j = B; j < BS; j++) { yt[i*BS+j] = 0.0; wt[i*BS+j] = 1.0; }
+            }
+            ws2d_block(yt, lamv, wt, zt, wd, wc, we, n);
+            for (i = 0; i < n; i++)
+                for (j = 0; j < B; j++)
+                    Z[(r0+j)*n + i] = zt[i*BS+j];
+        }
+    }
+    free(buf);
+    return 0;
+}
+
+/* Blocked asymmetric-envelope loop: identical per-lane semantics to
+   envelope_rows (per-row exact early exit; converged lanes stop
+   updating z/ww but keep riding the block's remaining solves with their
+   results discarded).  Returns 0 ok, -1 on alloc failure. */
+long envelope_rows_blk(const double* Y, const double* lam, const double* W,
+                       double p, double* z, double* ww, long n, long R)
+{
+    enum { BS = MODAPE_BS };
+    double p1 = 1.0 - p;
+    size_t plane = (size_t)n * BS;
+    double* buf = (double*)malloc(plane * 8 * sizeof(double));
+    double lamv[BS]; int active[BS];
+    long r0, i; int j, it;
+    if (!buf) return -1;
+    {
+        double* yt  = buf;            double* wt  = buf + plane;
+        double* zt  = buf + 2*plane;  double* wwt = buf + 3*plane;
+        double* wd  = buf + 4*plane;  double* wc  = buf + 5*plane;
+        double* we  = buf + 6*plane;  double* znt = buf + 7*plane;
+        for (r0 = 0; r0 < R; r0 += BS) {
+            int B = (int)((R - r0 < BS) ? (R - r0) : BS);
+            int n_active = B;
+            for (j = 0; j < B; j++) { lamv[j] = lam[r0+j]; active[j] = 1; }
+            for (j = B; j < BS; j++) { lamv[j] = 1.0; active[j] = 0; }
+            for (i = 0; i < n; i++) {
+                for (j = 0; j < B; j++) {
+                    yt[i*BS+j] = Y[(r0+j)*n + i];
+                    wt[i*BS+j] = W[(r0+j)*n + i];
+                    zt[i*BS+j] = z[(r0+j)*n + i];
+                    wwt[i*BS+j] = 1.0;  /* overwritten on iteration 0 */
+                }
+                for (j = B; j < BS; j++) {
+                    yt[i*BS+j] = 0.0; wt[i*BS+j] = 1.0; zt[i*BS+j] = 0.0;
+                    wwt[i*BS+j] = 1.0;
+                }
+            }
+            for (it = 0; it < 10 && n_active > 0; it++) {
+                for (i = 0; i < n; i++)
+                    for (j = 0; j < BS; j++) {
+                        double wnew = wt[i*BS+j]
+                            * (yt[i*BS+j] > zt[i*BS+j] ? p : p1);
+                        /* converged lanes retain their stopping
+                           iteration's ww (envelope_rows contract) */
+                        wwt[i*BS+j] = active[j] ? wnew : wwt[i*BS+j];
+                    }
+                ws2d_block(yt, lamv, wwt, znt, wd, wc, we, n);
+                for (j = 0; j < BS; j++) {
+                    double delta = 0.0;
+                    if (!active[j]) continue;
+                    for (i = 0; i < n; i++)
+                        delta += fabs(znt[i*BS+j] - zt[i*BS+j]);
+                    if (delta == 0.0) { active[j] = 0; n_active--; }
+                    else for (i = 0; i < n; i++) zt[i*BS+j] = znt[i*BS+j];
+                }
+            }
+            for (i = 0; i < n; i++)
+                for (j = 0; j < B; j++) {
+                    z[(r0+j)*n + i]  = zt[i*BS+j];
+                    ww[(r0+j)*n + i] = wwt[i*BS+j];
+                }
+        }
+    }
+    free(buf);
+    return 0;
+}
+
 /* --- delta-of-delta bitstream decoder (compression.py format) ---------
    Buckets: '0' | '10'+7b(-63) | '110'+9b(-255) | '1110'+12b(-2047) |
    '11110'+36b zigzag.  Mirrors compression.decode_dod bit-for-bit; the
@@ -349,7 +530,15 @@ long png_unfilter(const unsigned char* raw, long h, long w,
 }
 """
 
-_CFLAGS = ["-O2", "-fno-fast-math", "-ffp-contract=off", "-fPIC", "-shared"]
+# -O3 -march=native: enables auto-vectorization of the blocked solver's
+# row lanes on this host's ISA.  Exactness is NOT traded away: -fno-fast-math
+# keeps IEEE semantics, -ffp-contract=off forbids FMA merging, and SIMD
+# add/mul/div round identically to their scalar forms — per-row results are
+# bit-equal under any lane width (asserted by tests/test_ckernel.py).  The
+# .so is compiled at first use on the machine that runs it, so native is
+# always the running host's ISA.
+_CFLAGS = ["-O3", "-march=native", "-fno-fast-math", "-ffp-contract=off",
+           "-fPIC", "-shared"]
 
 _lib = None
 _tried = False
@@ -394,6 +583,12 @@ def get_lib():
         lib.envelope_rows.argtypes = [dp, dp, dp, ctypes.c_double, dp, dp, dp,
                                       ctypes.c_long, ctypes.c_long]
         lib.envelope_rows.restype = None
+        lib.ws2d_rows_blk.argtypes = [dp, dp, dp, dp,
+                                      ctypes.c_long, ctypes.c_long]
+        lib.ws2d_rows_blk.restype = ctypes.c_long
+        lib.envelope_rows_blk.argtypes = [dp, dp, dp, ctypes.c_double, dp, dp,
+                                          ctypes.c_long, ctypes.c_long]
+        lib.envelope_rows_blk.restype = ctypes.c_long
         lib.dod_decode_stream.argtypes = [
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long, ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_longlong), ctypes.c_long]
@@ -432,17 +627,23 @@ def _dp(a: np.ndarray):
 
 def ws2d_rows_c(Y: np.ndarray, lam: np.ndarray, W: np.ndarray,
                 Z: np.ndarray, work: np.ndarray) -> None:
+    """Blocked (row-SIMD) solve; bit-identical scalar row loop as the
+    fallback when the blocked form cannot allocate its transpose
+    scratch."""
     lib = get_lib()
     R, n = Y.shape
-    lib.ws2d_rows(_dp(Y), _dp(lam), _dp(W), _dp(Z), _dp(work), n, R)
+    if lib.ws2d_rows_blk(_dp(Y), _dp(lam), _dp(W), _dp(Z), n, R) != 0:
+        lib.ws2d_rows(_dp(Y), _dp(lam), _dp(W), _dp(Z), _dp(work), n, R)
 
 
 def envelope_rows_c(Y: np.ndarray, lam: np.ndarray, W: np.ndarray, p: float,
                     z: np.ndarray, ww: np.ndarray, work: np.ndarray) -> None:
     lib = get_lib()
     R, n = Y.shape
-    lib.envelope_rows(_dp(Y), _dp(lam), _dp(W), ctypes.c_double(p),
-                      _dp(z), _dp(ww), _dp(work), n, R)
+    if lib.envelope_rows_blk(_dp(Y), _dp(lam), _dp(W), ctypes.c_double(p),
+                             _dp(z), _dp(ww), n, R) != 0:
+        lib.envelope_rows(_dp(Y), _dp(lam), _dp(W), ctypes.c_double(p),
+                          _dp(z), _dp(ww), _dp(work), n, R)
 
 
 def png_unfilter_c(raw: bytes, h: int, w: int) -> np.ndarray | None:

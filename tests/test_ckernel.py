@@ -82,3 +82,41 @@ def test_rollup_c_equals_numpy(block):
     assert np.array_equal(rc.interp[10], rn.interp[10])
     assert np.array_equal(rc.interp[5], rn.interp[5])
     assert rc.sopt_log10.tobytes() == rn.sopt_log10.tobytes()
+
+
+def test_blocked_solver_bitexact_vs_scalar_rows():
+    """The row-interleaved (SIMD-lane) C forms must reproduce the scalar
+    C row loop BIT-FOR-BIT across lane remainders (R % 8), short series,
+    and convergence-skewed blocks (per-lane early exit)."""
+    lib = ck.get_lib()
+    if lib is None:
+        pytest.skip("C kernel unavailable")
+    import ctypes
+
+    rng = np.random.default_rng(20260821)
+    for R, n in [(1, 16), (7, 31), (8, 742), (9, 742), (64, 120),
+                 (128, 16), (33, 5936 // 8)]:
+        Y = np.rint(rng.uniform(-2000, 10000, (R, n)))
+        Y[rng.uniform(size=(R, n)) < 0.3] = float(NODATA)
+        Y = np.ascontiguousarray(Y)
+        W = K.weights_from_nodata(Y, NODATA)
+        lam = np.ascontiguousarray(10.0 ** rng.uniform(-2, 4, R))
+        scratch = np.empty(4 * n)
+        Zs = np.empty_like(Y)
+        Zb = np.empty_like(Y)
+        lib.ws2d_rows(ck._dp(Y), ck._dp(lam), ck._dp(W), ck._dp(Zs),
+                      ck._dp(scratch), n, R)
+        assert lib.ws2d_rows_blk(ck._dp(Y), ck._dp(lam), ck._dp(W),
+                                 ck._dp(Zb), n, R) == 0
+        assert Zs.tobytes() == Zb.tobytes(), f"ws2d blk mismatch R={R} n={n}"
+
+        zs = np.zeros_like(Y); wws = np.empty_like(Y)
+        zb = np.zeros_like(Y); wwb = np.empty_like(Y)
+        lib.envelope_rows(ck._dp(Y), ck._dp(lam), ck._dp(W),
+                          ctypes.c_double(0.9), ck._dp(zs), ck._dp(wws),
+                          ck._dp(scratch), n, R)
+        assert lib.envelope_rows_blk(ck._dp(Y), ck._dp(lam), ck._dp(W),
+                                     ctypes.c_double(0.9), ck._dp(zb),
+                                     ck._dp(wwb), n, R) == 0
+        assert zs.tobytes() == zb.tobytes(), f"env z mismatch R={R} n={n}"
+        assert wws.tobytes() == wwb.tobytes(), f"env ww mismatch R={R} n={n}"
