@@ -50,11 +50,35 @@ def _cosine(dialect: str, a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+def _dot_spark_unrolled(a: str, b: str) -> str:
+    """Unrolled 64-term dot product: ``0.0 + a[0]*b[0] + ... + a[63]*b[63]``.
+
+    Bit-identical to the ``aggregate(zip_with(...))`` fold — the explicit
+    chain is the same left-associative IEEE sequence (fold init 0.0, one
+    product per element, sequential adds) — but Spark's higher-order
+    functions execute INTERPRETED per element while this plain expression
+    tree stays in whole-stage codegen.  ONLY used in the brute-force kNN
+    projection, where it compiles and measured 1.7 -> 0.7 s at sf0.1; in
+    the neardup/IVF join stages the unrolled chains exceed Janino's 64 KB
+    method limit, dropping those stages to interpreted execution and
+    making them SLOWER (measured 4 -> 42 s), so those keep the HOF fold."""
+    terms = " + ".join(
+        f"(cast({a}[{i}] as double) * cast({b}[{i}] as double))"
+        for i in range(DIM))
+    return f"(cast(0.0 as double) + {terms})"
+
+
 def _knn_sql(dialect: str) -> str:
     # The cosine folds run in the same sequential order in both engines, so
     # the doubles are bit-identical; fixed-point via floor avoids any
     # rounding-mode divergence.
-    cos = _cosine(dialect, "q.embedding", "c.embedding")
+    if dialect == "spark":
+        d = _dot_spark_unrolled
+        cos = (f"({d('q.embedding', 'c.embedding')} / "
+               f"(sqrt({d('q.embedding', 'q.embedding')}) * "
+               f"sqrt({d('c.embedding', 'c.embedding')})))")
+    else:
+        cos = _cosine(dialect, "q.embedding", "c.embedding")
     return f"""
         with q as (select vec_id, embedding from embeddings where vec_id < {N_QUERY}),
         c as (select vec_id, embedding from embeddings where vec_id >= {N_QUERY}),
