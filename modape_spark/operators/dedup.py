@@ -563,13 +563,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .components import connected_components
 
+    from ..plans.partitioning import ordered_result
+
     register_views(spark, sf_dir)
     pairs = spark.sql(_simhash_pairs_sql("spark", hmax=1)) \
         .select("doc_a", "doc_b")
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
-    return (labels.select(F.col("node").alias("doc_id"),
-                          F.col("label").alias("cluster_rep"))
-            .orderBy("doc_id"))
+    return ordered_result(
+        labels.select(F.col("node").alias("doc_id"),
+                      F.col("label").alias("cluster_rep")), "doc_id")
 
 
 # min reachable doc_id per node == min-label fixpoint (recursive CTE)

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .common import table
+from ..plans.partitioning import ordered_result
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -187,7 +188,9 @@ def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(_extract, META_SCHEMA).orderBy("doc_id")
+    # ordered_result: a final orderBy would range-SAMPLE by executing the
+    # whole PNG-decode pipeline a second time (plans/partitioning.py)
+    return ordered_result(docs.mapInPandas(_extract, META_SCHEMA), "doc_id")
 
 
 # Oracle: pixels are (doc_id*31 + y*7 + x*13) % 256 over an
@@ -307,7 +310,8 @@ def _extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(_extract_audio, AUDIO_SCHEMA).orderBy("doc_id")
+    return ordered_result(
+        docs.mapInPandas(_extract_audio, AUDIO_SCHEMA), "doc_id")
 
 
 # samples are ((a*i+b) % 2003) - 1001 with a = 37 + doc%11, b = doc%101,
@@ -406,8 +410,8 @@ def _extract_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    return (docs.mapInPandas(_extract_frames, FRAMES_SCHEMA)
-            .orderBy("doc_id", "frame_ix"))
+    return ordered_result(docs.mapInPandas(_extract_frames, FRAMES_SCHEMA),
+                          "doc_id", "frame_ix")
 
 
 ORACLE_FRAMES = """
@@ -506,7 +510,7 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .mapInPandas(_extract_xmodal, XMODAL_SCHEMA))
     fa = feats.select(*[F.col(c).alias(f"{c}_a") for c in feats.columns])
     fb = feats.select(*[F.col(c).alias(f"{c}_b") for c in feats.columns])
-    return (
+    out = (
         pairs
         .join(fa, pairs.doc_a == fa.doc_id_a)
         .join(fb, pairs.doc_b == fb.doc_id_b)
@@ -521,8 +525,8 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("fw_a") == F.col("fw_b"))
              & (F.col("fh_a") == F.col("fh_b"))
              & (F.col("frames_md5_a") == F.col("frames_md5_b"))).cast("int")
-            .alias("frames_match"))
-        .orderBy("doc_a", "doc_b"))
+            .alias("frames_match")))
+    return ordered_result(out, "doc_a", "doc_b")
 
 
 # closed-form equality characterization: the WAV payload is a pure
@@ -593,7 +597,8 @@ def _extract_resized(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(_extract_resized, RESIZE_SCHEMA).orderBy("doc_id")
+    return ordered_result(
+        docs.mapInPandas(_extract_resized, RESIZE_SCHEMA), "doc_id")
 
 
 def _px(y: str, x: str) -> str:
