@@ -76,17 +76,24 @@ class TableCatalog:
         return self.spark.read.parquet(self.path(name))
 
     # -- writes -----------------------------------------------------------
-    def _observe_write(self, df: DataFrame):
+    def _observe_write(self, df: DataFrame, create: bool = True):
         """Sidecar maintenance for parquet-path writes: tier-shaped
         tables (those with an n_tok column) keep their lengths sidecar
         current via the write job's own observation; any other failure
         mode deletes the sidecar (missing => the exports' exact distinct
         probe; STALE is the only state that could drop rows, and the
-        export guard would then raise).  Returns (df, after_write)."""
+        export guard would then raise).  Returns (df, after_write).
+
+        ``create=False`` for PARTIAL writes (append/upsert): a sidecar is
+        only merged when one already exists.  Seeding one from a partial
+        batch on a table that predates the sidecar feature would list
+        only the batch's lengths and fail every export of a pre-existing
+        length (ADVICE r5 #1); absent, readers keep the exact
+        distinct-probe fallback."""
         if "n_tok" not in df.columns:
             return df, _invalidate_meta
         df, obs = _observe_lengths(df)
-        return df, lambda d: _merge_meta_or_invalidate(d, obs)
+        return df, lambda d: _merge_meta_or_invalidate(d, obs, create=create)
 
     def create(self, name: str, df: DataFrame) -> None:
         df = with_bucket(df, self.n_buckets)
@@ -108,7 +115,7 @@ class TableCatalog:
         if self.iceberg_catalog:
             df.writeTo(self.path(name)).append()
         else:
-            df, after = self._observe_write(df)
+            df, after = self._observe_write(df, create=False)
             df.repartition(self.n_buckets, F.col("bucket")) \
                 .write.mode("append").partitionBy("bucket") \
                 .parquet(self.path(name))
@@ -135,7 +142,7 @@ class TableCatalog:
         existing = target.filter(F.col("bucket").isin(touched))
         keep = existing.join(updates.select(key), key, "left_anti")
         merged = keep.unionByName(updates.select(keep.columns))
-        merged, after = self._observe_write(merged)
+        merged, after = self._observe_write(merged, create=False)
         # per-write dynamic overwrite: only touched buckets are replaced
         merged.repartition(len(touched), F.col("bucket")) \
             .write.mode("overwrite") \

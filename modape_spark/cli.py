@@ -135,6 +135,11 @@ def cmd_update(args) -> int:
 
     spark = _spark(args)
     tail = spark.read.parquet(args.tail)
+    # validate EVERY selected tier's required columns up front: failing
+    # inside the apply loop left the store partially updated (earlier
+    # tiers already spliced and directory-swapped) on an error that was
+    # knowable before touching anything (ADVICE r5 #2; re-running after a
+    # fix is idempotent, but the intermediate state was surprising)
     for tier in args.select:
         need = [tier] + ([f"{tier}_total"] if tier != "smoothed" else [])
         missing = [c for c in need + ["doc_id", "n_tok"]
@@ -144,6 +149,7 @@ def cmd_update(args) -> int:
                   "materialize the tail with the default (full) store",
                   file=sys.stderr)
             return 2
+    for tier in args.select:
         try:
             apply_tier_compact_update(
                 spark, f"{args.tiers}/{tier}", tier, tail, args.nupdate)

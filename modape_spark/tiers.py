@@ -438,7 +438,10 @@ def materialize_rollup(
     rolled.write.mode(mode).option("partitionOverwriteMode", "dynamic") \
         .option("compression", codec) \
         .partitionBy("bucket").parquet(out_dir)
-    _merge_meta_or_invalidate(out_dir, obs)
+    # a bucket-filtered resume is a PARTIAL write: never seed a sidecar
+    # from it (an under-covering sidecar breaks exports of untouched
+    # buckets' lengths); merging into an existing one stays correct
+    _merge_meta_or_invalidate(out_dir, obs, create=bucket_filter is None)
 
 
 _META_FILE = "_modape_meta.json"
@@ -485,13 +488,27 @@ def _invalidate_meta(table_dir: str) -> None:
         os.remove(os.path.join(table_dir, _META_FILE))
 
 
-def _merge_meta_or_invalidate(table_dir: str, obs) -> None:
+def _merge_meta_or_invalidate(table_dir: str, obs, create: bool = True) -> None:
     """Post-write sidecar maintenance: merge the observed lengths; on
     ANY failure delete the sidecar rather than leave a possibly-stale
     one behind (missing => probe fallback => correct; the old bare
     ``except: pass`` could strand a sidecar that no longer superset the
-    data)."""
+    data).
+
+    ``create=False`` (appends, upserts, bucket-filtered resumes — any
+    write that does NOT cover the whole table): only merge into an
+    ALREADY-PRESENT sidecar.  Creating one from a partial write on a
+    sidecar-less table (written by an older version or an external tool)
+    would list only this batch's lengths — an UNDER-covering sidecar that
+    makes every export of a pre-existing length fail loudly via
+    _assert_known_lengths (ADVICE r5 #1).  Left absent, readers keep the
+    exact distinct-probe fallback."""
+    import os
+
     try:
+        if not create and not os.path.exists(
+                os.path.join(table_dir, _META_FILE)):
+            return
         _merge_meta_file(table_dir, obs.get["lengths"])
     except Exception:
         _invalidate_meta(table_dir)
