@@ -4,10 +4,16 @@ SimHash, exact n-gram Jaccard.
 Scale notes:
 - exact dedup: one hash-groupBy (map-side partial agg, single shuffle on the
   content key).
-- MinHash/LSH: signatures are per-row expressions (no shuffle); candidate
-  generation joins on (band, band_hash) — the classic bucket join whose
-  fan-out is bounded by band collisions, not O(n^2).  At 100 TB the band
-  join is the only shuffle and is keyed by a uniform hash.
+- MinHash/LSH: signatures come from one exploded scan + codegen'd
+  min-aggregates (no per-row HOF work); the inline form generates
+  candidate pairs by grouping the SINGLE bands relation on
+  (band, band_hash) and pairing within buckets — fan-out bounded by band
+  collisions, not O(n^2), and the signature pipeline executes exactly
+  once (a bands-vs-bands self-join re-ran it per side under Spark's
+  per-reference CTE inlining).  The stored/bucketed forms keep the
+  bucket JOIN against their materialized signature store — at 10^12
+  signatures that join is the deployment shape (zero-exchange when
+  bucketed).
 - exact Jaccard: shingle explode + self-equi-join on the shingle; quadratic
   only within a shingle's posting list.  Kept as the verifier for LSH
   candidates (and as its own query at small SF).
