@@ -113,16 +113,23 @@ def main() -> None:
         materialize_rollup(r, out, CFG_ALL, n_buckets=n_buckets,
                            pre_bucketed=True, store="compact")
 
+    import contextlib
+
     import modape_spark.entry_queries as EQ
     q_rows = max(n_rows // 4, 64)
 
-    def quarter(fn, outdir):
+    @contextlib.contextmanager
+    def quarter_rows():
         saved = EQ.n_rows_for_sf
         EQ.n_rows_for_sf = lambda sf: q_rows
         try:
-            fn(spark, sf_dir).write.mode("overwrite").parquet(outdir)
+            yield
         finally:
             EQ.n_rows_for_sf = saved
+
+    def quarter(fn, outdir):
+        with quarter_rows():
+            fn(spark, sf_dir).write.mode("overwrite").parquet(outdir)
 
     BENCH = {
         "tier_all_materialize": headline,
@@ -142,19 +149,11 @@ def main() -> None:
         if name == "tier_all_materialize":
             return rollup_dataframe(setup_raw(), CFG_ALL, store="compact")
         if name == "tier_fixed_lambda_q25":
-            saved = EQ.n_rows_for_sf
-            EQ.n_rows_for_sf = lambda sf: q_rows
-            try:
+            with quarter_rows():
                 return q_tier_fixed_lambda(spark, sf_dir)
-            finally:
-                EQ.n_rows_for_sf = saved
         if name == "incremental_forward_q25":
-            saved = EQ.n_rows_for_sf
-            EQ.n_rows_for_sf = lambda sf: q_rows
-            try:
+            with quarter_rows():
                 return q_incremental_forward(spark, sf_dir)
-            finally:
-                EQ.n_rows_for_sf = saved
         import __spark_entry__ as E
         reg = E.queries()
         if name in BENCH and name not in reg:

@@ -544,10 +544,30 @@ _lib = None
 _tried = False
 
 
+def _host_isa_tag() -> str:
+    """Host CPU feature string folded into the .so cache key: with
+    -march=native the binary is host-specific, and a cached build reused
+    on a CPU lacking those extensions would SIGILL (CDLL load itself
+    succeeds, so no fallback would trigger).  The cpuinfo flags line
+    changes exactly when the ISA does; absence degrades to a
+    platform-machine tag."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return line
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
 def _build() -> str | None:
     cache = os.path.join(tempfile.gettempdir(), "modape_spark_ckernel")
     os.makedirs(cache, exist_ok=True)
-    tag = hashlib.sha256((_C_SOURCE + " ".join(_CFLAGS)).encode()).hexdigest()[:16]
+    tag = hashlib.sha256((_C_SOURCE + " ".join(_CFLAGS)
+                          + _host_isa_tag()).encode()).hexdigest()[:16]
     so_path = os.path.join(cache, f"ws2d_{tag}.so")
     if os.path.exists(so_path):
         return so_path

@@ -135,6 +135,19 @@ def run_with_checkpoints(
             "bucket int, rows long, input_fingerprint long, "
             "elapsed_sec double, ts double",
         ).write.mode("append").parquet(lineage_dir)
+    # Every bucket-filtered write is PARTIAL, so none of them may seed the
+    # lengths sidecar (tiers._merge_meta_or_invalidate create=False — an
+    # under-covering sidecar would break exports).  Here, once ALL groups
+    # have committed, the table IS fully covered: seed the sidecar from
+    # one column-pruned distinct scan if it is still missing, so the
+    # checkpointed build path keeps the no-probe export optimization.
+    if todo:
+        import os
+
+        from .tiers import _META_FILE, write_table_meta
+
+        if not os.path.exists(os.path.join(out_dir, _META_FILE)):
+            write_table_meta(spark, out_dir)
     return {
         "processed_buckets": len(todo),
         "skipped_buckets": skipped,

@@ -24,14 +24,13 @@ N_BANDS = 4
 BAND_ROWS = 4
 
 
-# (applicationId, sf_dir) of the session whose views are current: every
-# operator query calls register_views, and re-reading 10 parquet footers +
-# re-registering 10 views per query is ~0.3-0.5 s of driver-side work that
-# repeats identically within a session (guide §5: the driver should do
-# almost no data work).  The testdata tables are immutable, so views
-# registered once stay valid; a different sf_dir (or a new session)
-# re-registers.
-_REGISTERED: dict[str, str] = {}
+# Every operator query calls register_views, and re-reading 10 parquet
+# footers + re-registering 10 views per query is ~0.3-0.5 s of driver-side
+# work that repeats identically within a session (guide §5: the driver
+# should do almost no data work).  The testdata tables are immutable, so
+# views registered once per session stay valid; a different sf_dir (or a
+# new session) re-registers.  The marker is an attribute on the session
+# object itself — see below.
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -44,8 +43,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     timestamps as naive, so Spark must too regardless of the caller's
     session defaults.
     """
-    app_id = spark.sparkContext.applicationId
-    if _REGISTERED.get(app_id) == sf_dir:
+    # marker lives ON the session object: temp views are
+    # SparkSession-scoped (a second session over the same context must
+    # not skip registration), and an object attribute dies with the
+    # session — no id()-reuse or applicationId aliasing hazards
+    if getattr(spark, "_modape_views_sf", None) == sf_dir:
         return
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -56,7 +58,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         if t in _SPREAD_TABLES:
             df = _spread(spark, df)
         df.createOrReplaceTempView(t)
-    _REGISTERED[app_id] = sf_dir
+    spark._modape_views_sf = sf_dir
 
 
 # Tables whose per-row compute dwarfs their bytes (shingle explodes,

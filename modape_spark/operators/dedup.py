@@ -177,13 +177,27 @@ def _bands_cte(mh_expr: str, dialect: str) -> str:
     """
 
 
-def _pairs_tail_sql(dialect: str, src: str = "bands") -> str:
-    """The candidate-pair tail over a bands relation ``src``
-    (doc_id, mh, band, band_hash)."""
+def _pairs_select(dialect: str) -> str:
+    """Shared final projection over a ``cand`` (da, db, mha, mhb)
+    relation — ONE definition for the grouped inline tail AND the
+    stored/bucketed join tail, so the n_equal/est_jaccard semantics
+    cannot drift between the forms that share a DuckDB oracle."""
     if dialect == "spark":
         n_eq = f"size(filter(sequence(0, {N_MINHASH - 1}), i -> mha[i] = mhb[i]))"
     else:
         n_eq = f"len(list_filter(generate_series(1, {N_MINHASH}), i -> mha[i] = mhb[i]))"
+    return f"""
+        select da as doc_a, db as doc_b,
+               {n_eq} as n_equal_minhash,
+               {n_eq} * {10000 // N_MINHASH} as est_jaccard_e4
+        from cand
+        order by doc_a, doc_b
+    """
+
+
+def _pairs_tail_sql(dialect: str, src: str = "bands") -> str:
+    """The candidate-pair tail over a bands relation ``src``
+    (doc_id, mh, band, band_hash)."""
     return f"""
         cand as (
             select x.doc_id as da, y.doc_id as db,
@@ -192,13 +206,7 @@ def _pairs_tail_sql(dialect: str, src: str = "bands") -> str:
               on x.band = y.band and x.band_hash = y.band_hash
              and x.doc_id < y.doc_id
             group by x.doc_id, y.doc_id
-        )
-        select da as doc_a, db as doc_b,
-               {n_eq} as n_equal_minhash,
-               {n_eq} * {10000 // N_MINHASH} as est_jaccard_e4
-        from cand
-        order by doc_a, doc_b
-    """
+        ){_pairs_select(dialect)}"""
 
 
 def _pairs_tail_grouped_spark() -> str:
@@ -212,10 +220,17 @@ def _pairs_tail_grouped_spark() -> str:
     materialization was tried in round 1 and measured 2x slower — the
     cache-build barrier serializes work; the groupBy form has no barrier
     and no cache.)  In-bucket pair fan-out is the same m^2 the join
-    produced, bounded by band collisions; the per-bucket member list is
-    O(bucket size) memory, the same relation the join's hash table held.
-    Identical rows: same pair multiset -> same group-by + first() dedup."""
-    n_eq = f"size(filter(sequence(0, {N_MINHASH - 1}), i -> mha[i] = mhb[i]))"
+    produced, bounded by band collisions.  Identical rows: same pair
+    multiset -> same group-by + first() dedup.
+
+    Skew limit, stated honestly: collect_list gathers a bucket into ONE
+    array row, which cannot spill mid-row -- a pathologically hot band
+    bucket (a corpus that is mostly copies of one document) that a
+    sort-merge join could stream/spill might OOM here.  This inline form
+    is the small/medium-corpus entry; a skewed deployment uses
+    docs_minhash_lsh_stored / _bucketed, which keep the JOIN tail
+    against the materialized signature store (zero-exchange in the
+    bucketed form)."""
     return f"""
         buckets as (
             select band, band_hash,
@@ -234,13 +249,7 @@ def _pairs_tail_grouped_spark() -> str:
             select da, db, first(mha) as mha, first(mhb) as mhb
             from pairs
             group by da, db
-        )
-        select da as doc_a, db as doc_b,
-               {n_eq} as n_equal_minhash,
-               {n_eq} * {10000 // N_MINHASH} as est_jaccard_e4
-        from cand
-        order by doc_a, doc_b
-    """
+        ){_pairs_select("spark")}"""
 
 
 def _minhash_pairs_sql(dialect: str) -> str:
