@@ -96,18 +96,34 @@ def validate_append(raw_df: DataFrame, batches: DataFrame) -> DataFrame:
     b = batches.select("doc_id", "start_offset")
     joined = stored.join(F.broadcast(b), "doc_id")  # inner: BuildRight bcast
     mismatch = F.col("start_offset") != F.col("n_tok")
-    stats = joined.agg(
-        F.count("*").alias("matched"),
-        F.sum(mismatch.cast("long")).alias("n_bad"),
-    ).collect()[0]
+    # ONE action for both checks: the join stats and the batch count are
+    # unioned into a single 2-row job instead of two serial driver actions
+    # (two jobs measured ~2x the latency on the windowed-forward path;
+    # guide §5 — keep driver round trips off the hot path).  The final agg
+    # collapses the union so row order never matters.
+    stats = (
+        joined.agg(
+            F.count("*").alias("matched"),
+            F.sum(mismatch.cast("long")).alias("n_bad"),
+            F.lit(None).cast("long").alias("n_batches"),
+        )
+        .unionByName(b.agg(
+            F.lit(None).cast("long").alias("matched"),
+            F.lit(None).cast("long").alias("n_bad"),
+            F.count("*").alias("n_batches"),
+        ))
+        .agg(F.max("matched").alias("matched"),
+             F.max("n_bad").alias("n_bad"),
+             F.max("n_batches").alias("n_batches"))
+        .collect()[0]
+    )
     if stats["n_bad"]:
         sample = joined.filter(mismatch).limit(5).collect()
         raise LateDataError(
             "non-sequential update batches (late or gapped data rejected, "
             f"collect.py:367-370 semantics); first offenders: {sample}"
         )
-    n_batches = b.count()  # batch side: tiny
-    if stats["matched"] != n_batches:
+    if stats["matched"] != stats["n_batches"]:
         missing = (
             b.join(joined.select("doc_id"), "doc_id", "left_anti")
             .limit(5).collect()
@@ -129,6 +145,17 @@ def append_suffixes(raw_df: DataFrame, batches: DataFrame,
     buckets).
     """
     b = dedup_batches(batches)
+    # The deduped batch side (small by contract — it is broadcast below)
+    # is otherwise re-computed per consumer: validation's broadcast build,
+    # its count, and the final append join each re-ran the dedup window
+    # (3 window shuffles measured on the forward path).  Persist it via
+    # the entry-query cache tracker so _release_caches() frees it at the
+    # next query; plain library callers just hold a small cached DF.
+    try:
+        from .entry_queries import _track_cache
+        b = _track_cache(b)
+    except Exception:
+        pass
     if validate:
         validate_append(raw_df, b)
     b = b.select("doc_id", F.col("tokens_suffix"))

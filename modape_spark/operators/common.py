@@ -24,20 +24,24 @@ N_BANDS = 4
 BAND_ROWS = 4
 
 
-# Every operator query calls register_views, and re-reading 10 parquet
-# footers + re-registering 10 views per query is ~0.3-0.5 s of driver-side
-# work that repeats identically within a session (guide §5: the driver
-# should do almost no data work).  The testdata tables are immutable, so
-# views registered once per session stay valid; a different sf_dir (or a
-# new session) re-registers.  The marker is an attribute on the session
-# object itself — see below.
+# Every operator query calls register_views, and re-reading parquet
+# footers + re-registering views per query is driver-side work that
+# repeats identically within a session (guide §5: the driver should do
+# almost no data work).  The testdata tables are immutable, so views
+# registered once per session stay valid; a different sf_dir (or a new
+# session) re-registers.  Registration is LAZY per table: each query
+# passes the tables its SQL references, so the first query of a session
+# reads one footer (~0.13 s each measured), not ten.  The marker is an
+# attribute on the session object itself — see below.
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver tables as temp views with the same names the
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple = TABLES) -> None:
+    """Register driver tables as temp views with the same names the
     driver's DuckDB oracle uses, so query text is portable.  Idempotent
-    per (session, sf_dir): repeat calls are a dict lookup, not 10 parquet
-    footer reads.
+    per (session, sf_dir, table): repeat calls are a set lookup, not
+    parquet footer reads.  ``tables`` defaults to everything; operator
+    queries pass the subset their SQL references.
 
     Pins the session timezone to UTC: the oracle (DuckDB) treats parquet
     timestamps as naive, so Spark must too regardless of the caller's
@@ -47,18 +51,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     # SparkSession-scoped (a second session over the same context must
     # not skip registration), and an object attribute dies with the
     # session — no id()-reuse or applicationId aliasing hazards
-    if getattr(spark, "_modape_views_sf", None) == sf_dir:
-        return
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
-    for t in TABLES:
+    state = getattr(spark, "_modape_views", None)
+    if state is None or state["sf"] != sf_dir:
+        state = {"sf": sf_dir, "done": set()}
+        spark._modape_views = state
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
+    missing = [t for t in tables if t not in state["done"]]
+    for t in missing:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t in _SPREAD_TABLES:
             df = _spread(spark, df)
         df.createOrReplaceTempView(t)
-    spark._modape_views_sf = sf_dir
+        state["done"].add(t)
 
 
 # Tables whose per-row compute dwarfs their bytes (shingle explodes,

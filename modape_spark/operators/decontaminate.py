@@ -160,12 +160,12 @@ def _clean_stats_sql(dialect: str) -> str:
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_decontaminate_sql("spark"))
 
 
 def q_decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_clean_stats_sql("spark"))
 
 

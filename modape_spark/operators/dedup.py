@@ -44,7 +44,7 @@ JACCARD_THRESHOLD = 0.2
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups on a normalized content key (first 8 words)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql("""
         with keyed as (
             select doc_id,
@@ -265,7 +265,7 @@ def _minhash_pairs_sql(dialect: str) -> str:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_minhash_pairs_sql("spark"))
 
 
@@ -284,7 +284,7 @@ def q_minhash_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's value-hash check."""
     import tempfile
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     # every call's store lives until interpreter exit: a lazy DataFrame
     # returned by an EARLIER call may be executed after a later call, so
     # no store is reaped mid-session (the stores are small signature
@@ -319,7 +319,7 @@ def q_minhash_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     tmp = tempfile.mkdtemp(prefix="modape_sigbucket_")
     _SIGSTORE_DIRS.append(tmp)
     name = f"modape_sig_bands_v{len(_SIGSTORE_DIRS)}"
@@ -413,7 +413,7 @@ def _simhash_sql(dialect: str) -> str:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_simhash_sql("spark"))
 
 
@@ -465,7 +465,7 @@ def _simhash_pairs_sql(dialect: str, hmax: int = _SIMHASH_HAMMING_MAX) -> str:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_simhash_pairs_sql("spark"))
 
 
@@ -518,7 +518,7 @@ def _jaccard_sql(dialect: str) -> str:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_jaccard_sql("spark"))
 
 
@@ -559,7 +559,7 @@ def _cross_check_sql(dialect: str) -> str:
 
 
 def q_dedup_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_cross_check_sql("spark"))
 
 
@@ -580,7 +580,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..plans.partitioning import ordered_result
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     pairs = spark.sql(_simhash_pairs_sql("spark", hmax=1)) \
         .select("doc_a", "doc_b")
     labels = connected_components(pairs, src="doc_a", dst="doc_b")

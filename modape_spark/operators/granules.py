@@ -67,7 +67,7 @@ def _granule_sql(dialect: str) -> str:
 
 
 def q_source_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_granule_sql("spark"))
 
 

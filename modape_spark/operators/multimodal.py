@@ -494,7 +494,7 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .common import register_views, table
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     pairs = spark.sql("""
         with keyed as (
             select doc_id,

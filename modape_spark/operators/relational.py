@@ -23,7 +23,7 @@ from .common import register_views, table
 
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest event per (user_id, event_type) — the canonical dedup window."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("events",))
     return spark.sql("""
         with ranked as (
             select user_id, event_type, event_id, value,
@@ -55,7 +55,7 @@ ORACLE_DEDUP_LATEST = """
 
 
 def q_date_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("events",))
     return spark.sql("""
         select event_type,
                count(*) as n,
@@ -88,7 +88,7 @@ ORACLE_DATE_SLICE = """
 
 def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users with days missing from the expected daily grid (A7)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("events",))
     return spark.sql("""
         with bounds as (
             select to_date(min(ts)) as d0, to_date(max(ts)) as d1 from events
@@ -167,7 +167,7 @@ def _sessionize_sql(ts_diff_expr: str) -> str:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("events",))
     return spark.sql(_sessionize_sql(
         "unix_timestamp(ts) - unix_timestamp(prev_ts)"))
 
@@ -203,7 +203,7 @@ def _grid_sql(dialect: str) -> str:
 
 
 def q_grid_dekad_pentad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ())
     return spark.sql(_grid_sql("spark"))
 
 
@@ -228,7 +228,7 @@ def _tumbling_sql(dialect: str) -> str:
 
 
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("events",))
     return spark.sql(_tumbling_sql("spark"))
 
 
@@ -258,7 +258,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to exact integers per row BEFORE any aggregation, so the sums
     are identical under ANY partitioning/accumulation order — float sums
     only matched the oracle while the fixture scan was a single task."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_PRICING_BODY.format(div="div"))
 
 

@@ -54,7 +54,7 @@ def _split_sql(dialect: str) -> str:
 
 
 def q_split_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_split_sql("spark"))
 
 
@@ -96,7 +96,7 @@ def _budget_sql(dialect: str, budget: int = TOKEN_BUDGET) -> str:
 
 
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_budget_sql("spark"))
 
 
@@ -150,7 +150,7 @@ def _pack_sql(dialect: str, ctx: int = CONTEXT_LEN) -> str:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_pack_sql("spark"))
 
 

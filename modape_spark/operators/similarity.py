@@ -100,7 +100,7 @@ def _knn_sql(dialect: str) -> str:
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_knn_sql("spark"))
 
 
@@ -195,7 +195,7 @@ def _neardup_sql(dialect: str) -> str:
 
 
 def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_neardup_sql("spark"))
 
 
@@ -229,7 +229,7 @@ def _ann_lsh_sql(dialect: str) -> str:
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_ann_lsh_sql("spark"))
 
 
@@ -340,7 +340,7 @@ def _ivf_sql(dialect: str) -> str:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_ivf_sql("spark"))
 
 
@@ -381,7 +381,7 @@ def _label_stats_sql(dialect: str) -> str:
 
 
 def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_label_stats_sql("spark"))
 
 

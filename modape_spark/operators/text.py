@@ -37,7 +37,7 @@ def _stop_hits(words_expr: str, markers: tuple[str, ...], dialect: str) -> str:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(f"""
         select source,
                count(*) as n_docs,
@@ -68,7 +68,7 @@ ORACLE_TOKEN_COUNT = f"""
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
     return spark.sql(f"""
         with words as (
@@ -136,7 +136,7 @@ def _langid_case(dialect: str) -> str:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(f"""
         with words as (
             select lang, split(lower(text), ' ') as w from documents
@@ -161,7 +161,7 @@ ORACLE_LANGID = f"""
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash over word hashes (Rabin-Karp style)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(f"""
         select doc_id,
                aggregate(
@@ -220,7 +220,7 @@ def _vocab_sql(dialect: str, k: int = 3) -> str:
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     return spark.sql(_vocab_sql("spark"))
 
 

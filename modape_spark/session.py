@@ -75,12 +75,34 @@ def get_spark(
         # dynamic: overwrite only the partitions a job writes (idempotent
         # checkpointed resume, lineage.py)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # ObjectHashAggregate (collect_list/collect_set buckets) falls back
+        # to SORT-based aggregation after only 128 distinct groups per task
+        # by default — measured on the LSH bucket gather: every task
+        # spilled + sorted (~19k groups over 32 tasks).  4096 keeps the
+        # hash path for realistic per-task group counts while still
+        # bounding per-task map size; NOT a local[32] tune — the per-task
+        # group count is set by shuffle partitioning at any scale.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "4096")
         .config("spark.ui.enabled", "false")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Force the ICU collation class init at session build: Spark 4 routes
+    # lower()/upper() through CollationAwareUTF8String, whose static init
+    # loads ICU case-mapping data (~1.3 s measured).  Left to first use,
+    # every task of the first text query blocks on the class-init monitor
+    # (jstack: "waiting on the Class initialization monitor for
+    # ...CollationAwareUTF8String").  Paying it here, once, at startup
+    # moves it off the first query; local mode shares the JVM, and on a
+    # cluster executors pay it per-JVM either way.
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+    except Exception:
+        pass  # class renamed/absent on other Spark versions: first use pays
     return spark
 
 
