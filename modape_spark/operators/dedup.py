@@ -559,7 +559,7 @@ def _cross_check_sql(dialect: str) -> str:
 
 
 def q_dedup_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ("documents",))
+    register_views(spark, sf_dir, ("documents", "embeddings"))
     return spark.sql(_cross_check_sql("spark"))
 
 

@@ -18,7 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..fixtures import gen_tokens_block, local_sequences, row_lengths, row_sources
 
-SEQUENCES_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+# tokens are smallint: the value domain is the sensor range [-3000, 10000]
+# (fixtures.gen_tokens_block clips there), so int16 holds every value
+# exactly.  Half-width tokens halve the JVM->Python Arrow feed of every
+# kernel pass — the headline's measured fixed feed cost dropped ~2x in a
+# feed-only A/B (1.95 s -> 0.92 s warm at 100k rows) — while parquet size
+# is unchanged (bit-packed either way).  Kernel math is unaffected: the
+# kernel widens to float64 on entry (tiers._rollup_core), and SQL
+# aggregates over tokens accumulate in bigint as before.
+SEQUENCES_SCHEMA = ("doc_id string, tokens array<smallint>, n_tok int, "
+                    "source string")
 
 
 def _gen_partition(batches) -> Iterator:
@@ -36,7 +45,7 @@ def _gen_partition(batches) -> Iterator:
         srcs = row_sources(ids)
         off = np.zeros(ids.size + 1, dtype=np.int64)
         np.cumsum(lens, out=off[1:])
-        flat = np.empty(int(off[-1]), dtype=np.int32)
+        flat = np.empty(int(off[-1]), dtype=np.int16)
         for n in np.unique(lens):
             sel = np.where(lens == n)[0]
             n = int(n)
