@@ -145,14 +145,17 @@ def _unit_planes(k: int) -> np.ndarray:
     return p / np.linalg.norm(p, axis=1, keepdims=True)
 
 
-def _cell_exprs(dialect: str, emb: str) -> list[str]:
+def _cell_exprs(dialect: str, emb: str, norm: str | None = None) -> list[str]:
     """Grid-cell index per projection dim: floor(p_hat . v_hat / R).
 
     The fold order, literals, and division sequence are identical in both
     dialects, so the doubles — and therefore the floor boundaries — agree
-    bit-for-bit."""
-    norm = (f"sqrt({_dot_spark(emb, emb)})" if dialect == "spark"
-            else f"sqrt({_dot_duck(emb, emb)})")
+    bit-for-bit.  ``norm`` lets the Spark caller reference a pre-computed
+    per-row sqrt(dot(e,e)) column — the identical IEEE value, computed
+    once per row instead of once per cell dim."""
+    if norm is None:
+        norm = (f"sqrt({_dot_spark(emb, emb)})" if dialect == "spark"
+                else f"sqrt({_dot_duck(emb, emb)})")
     out = []
     for plane in _unit_planes(N_GRID_DIMS):
         # repr(float(v)): numpy >= 2.0 reprs scalars as 'np.float64(x)',
@@ -188,17 +191,56 @@ def _neardup_sql(dialect: str) -> str:
     cannot guarantee this: measured bucket hamming of true pairs at
     tau=0.45 reaches 6 of 8 bits.  At production near-dup thresholds,
     tau ~ 0.9, r shrinks to ~0.45 and the grid prunes much harder.)"""
-    cells = _cell_exprs(dialect, "embedding")
-    cell_cols = ", ".join(f"{e} as c{i}" for i, e in enumerate(cells))
     if dialect == "spark":
+        # Per-row norm hoist (same reasoning as the kNN projection):
+        # sqrt(dot(e,e)) is the identical IEEE expression whether it runs
+        # once per ROW here (as an unrolled codegen chain — a plain
+        # projection compiles fine; only the JOIN-stage unroll blew
+        # Janino's method limit) or inside every cell expr and every
+        # candidate pair's cosine.  The join stage then evaluates ONE
+        # interpreted dot fold per cosine use instead of three, and the
+        # cell projection none.  cos = dot/(na*nb) keeps _cosine's exact
+        # combination order, so values match the unchanged DuckDB oracle
+        # bit-for-bit (verified).
+        nrm = f"sqrt({_dot_spark_unrolled('embedding', 'embedding')})"
+        cells = _cell_exprs(dialect, "embedding", norm="nrm")
+        cell_cols = ", ".join(f"{e} as c{i}" for i, e in enumerate(cells))
         probe_src = " ".join(
             f"lateral view explode(array(-1, 0, 1)) t{i} as o{i}"
             for i in range(N_GRID_DIMS))
-        probe_src = f"v {probe_src}"
-    else:
-        probe_src = ", ".join(
-            f"unnest([-1, 0, 1]) as t{i}(o{i})" for i in range(N_GRID_DIMS))
-        probe_src = f"v, {probe_src}"
+        probe_cols = ", ".join(f"c{i} + o{i} as p{i}"
+                               for i in range(N_GRID_DIMS))
+        join_on = " and ".join(f"a.p{i} = b.c{i}"
+                               for i in range(N_GRID_DIMS))
+        cos = f"({_dot_spark('ea', 'eb')} / (na * nb))"
+        return f"""
+        with v0 as (
+            select vec_id, embedding, {nrm} as nrm from embeddings
+        ),
+        v as (
+            select vec_id, embedding, nrm, {cell_cols} from v0
+        ),
+        probes as (
+            select vec_id, embedding, nrm, {probe_cols} from v {probe_src}
+        ),
+        cand as (
+            select a.vec_id as vec_a, b.vec_id as vec_b,
+                   a.embedding as ea, b.embedding as eb,
+                   a.nrm as na, b.nrm as nb
+            from probes a join v b
+              on {join_on} and a.vec_id < b.vec_id
+        )
+        select vec_a, vec_b,
+               cast(floor({cos} * 10000 + 0.5) as bigint) as cosine_e4
+        from cand
+        where {cos} >= {NEARDUP_TAU}
+        order by vec_a, vec_b
+    """
+    cells = _cell_exprs(dialect, "embedding")
+    cell_cols = ", ".join(f"{e} as c{i}" for i, e in enumerate(cells))
+    probe_src = ", ".join(
+        f"unnest([-1, 0, 1]) as t{i}(o{i})" for i in range(N_GRID_DIMS))
+    probe_src = f"v, {probe_src}"
     probe_cols = ", ".join(f"c{i} + o{i} as p{i}" for i in range(N_GRID_DIMS))
     join_on = " and ".join(f"a.p{i} = b.c{i}" for i in range(N_GRID_DIMS))
     cos = _cosine(dialect, "ea", "eb")
