@@ -363,7 +363,59 @@ def _ivf_sql(dialect: str) -> str:
     transform = "transform" if dialect == "spark" else "list_transform"
     masked = (f"{transform}({seq}, j -> case when j = cell1 "
               f"then -1e30 else {el('sc', 'j')} end)")
-    cos = _cosine(dialect, "q.embedding", "c.embedding")
+    if dialect == "spark":
+        # Per-row norm hoist (see _neardup_sql / _knn_sql): the ranked
+        # stage evaluated the 3-fold interpreted cosine TWICE per
+        # candidate pair (projection + window order); with sqrt(dot(e,e))
+        # computed once per row (unrolled codegen chain in a plain
+        # projection) each evaluation is one dot fold.  Identical IEEE
+        # expressions and combination order — bit-equal to the unchanged
+        # DuckDB oracle (verified).
+        nrm = f"sqrt({_dot_spark_unrolled('embedding', 'embedding')})"
+        cos = f"({_dot_spark('qe', 'ce')} / (qn * cn))"
+        return f"""
+        with scored as (
+            select vec_id, embedding, {nrm} as nrm, {scores} as sc
+            from embeddings
+        ),
+        assigned as (
+            select vec_id, embedding, nrm, sc,
+                   cast({arr_pos}(sc, {arr_max}(sc)) as int) as cell1
+            from scored
+        ),
+        probes as (
+            select vec_id, embedding, nrm, cell1,
+                   cast({arr_pos}({masked}, {arr_max}({masked})) as int)
+                       as cell2
+            from assigned
+            where vec_id < {N_QUERY}
+        ),
+        probe_cells as (  -- one row per (query, probed cell): keeps the
+                          -- candidate join a pure EQUI-join on cell id
+            select vec_id, embedding, nrm, pc from probes
+            lateral view explode(array(cell1, cell2)) t as pc
+        ),
+        cand as (
+            select q.vec_id as query_id, c.vec_id as neighbour_id,
+                   q.embedding as qe, c.embedding as ce,
+                   q.nrm as qn, c.nrm as cn
+            from probe_cells q
+            join assigned c
+              on c.cell1 = q.pc and c.vec_id >= {N_QUERY}
+        ),
+        ranked as (
+            select query_id, neighbour_id,
+                   cast(floor({cos} * 10000 + 0.5) as bigint) as score_e4,
+                   row_number() over (
+                       partition by query_id
+                       order by {cos} desc, neighbour_id
+                   ) as rank
+            from cand
+        )
+        select query_id, neighbour_id, score_e4, rank
+        from ranked where rank <= {K_NEIGHBOURS}
+        order by query_id, rank
+    """
     return f"""
         with scored as (
             select vec_id, embedding, {scores} as sc from embeddings
@@ -383,8 +435,7 @@ def _ivf_sql(dialect: str) -> str:
         probe_cells as (  -- one row per (query, probed cell): keeps the
                           -- candidate join a pure EQUI-join on cell id
             select vec_id, embedding, pc from probes
-            {("lateral view explode(array(cell1, cell2)) t as pc"
-              if dialect == "spark" else ", unnest([cell1, cell2]) as t(pc)")}
+            , unnest([cell1, cell2]) as t(pc)
         ),
         cand as (
             select q.vec_id as query_id, c.vec_id as neighbour_id,
